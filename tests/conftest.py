@@ -1,0 +1,22 @@
+"""Test environment: force an 8-device CPU mesh so sharding tests run
+anywhere (the driver validates the real multi-chip path separately via
+__graft_entry__.dryrun_multichip).
+
+Note: this image's sitecustomize registers the remote-TPU ("axon") platform
+and prepends it to jax_platforms, so JAX_PLATFORMS=cpu in the environment is
+not enough — the config must be overridden after importing jax but before any
+backend initialises.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
