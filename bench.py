@@ -1,0 +1,69 @@
+"""Benchmark harness: one JSON line for the driver.
+
+North-star metric (BASELINE.md): Mrays/s/chip forward+backward at 640x480,
+bounce depth 4 (BASELINE config 3).  A "ray" is a camera ray (pixel x
+alias^2), the same accounting as the reference's one-work-item-per-pixel
+launch; the full bounce tree traces 2^(depth+1)-1 nodes per camera ray.
+
+Runs on whatever accelerator jax finds (the real TPU under the driver);
+prints exactly one JSON line to stdout.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.config import RenderConfig
+    from raytpu.grad import loss_and_grad
+    from raytpu.render import render_timed
+    from raytpu.scene import default_scene
+    from raytpu.trace import render_pixels
+
+    cfg = RenderConfig(width=640, height=480, max_depth=4, alias_factor=3,
+                       chunk_pixels=16384)
+    scene = default_scene()
+    dev = jax.devices()[0]
+    meta = dict(device=str(dev), backend=jax.default_backend(),
+                width=cfg.width, height=cfg.height, depth=cfg.max_depth,
+                alias=cfg.alias_factor)
+
+    # Forward
+    _, fwd = render_timed(scene, cfg, warmup=1, iters=3)
+
+    # Forward + backward (loss + scene-parameter gradients)
+    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+
+    def step(s):
+        return loss_and_grad(s, cfg, target)
+
+    out = jax.block_until_ready(step(scene))  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(step(scene))
+        times.append(time.perf_counter() - t0)
+    bwd_dt = min(times)
+    fwd_bwd_mrays = cfg.rays_per_frame / bwd_dt / 1e6
+
+    result = {
+        "metric": "Mrays/s/chip fwd+bwd 640x480 depth-4",
+        "value": round(fwd_bwd_mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": None,  # the reference publishes no numbers (BASELINE.md)
+        "fwd_mrays_per_s": round(fwd["mrays_per_s"], 3),
+        "fwd_seconds": round(fwd["seconds"], 4),
+        "fwd_bwd_seconds": round(bwd_dt, 4),
+        **meta,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

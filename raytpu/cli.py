@@ -1,0 +1,107 @@
+"""Command-line driver: the reference's main() + its unused device-picker
+CLI (main.cpp:94-508, device_picker.h:70-119) as a real argparse program.
+
+Examples:
+  python -m raytpu.cli -o out.ppm                      # golden 800x600 render
+  python -m raytpu.cli --width 640 --height 480 --max-depth 4 --time
+  python -m raytpu.cli --scene random --num-spheres 256 --sharded
+  python -m raytpu.cli --list-devices
+  python -m raytpu.cli --oracle -o strict.ppm          # strict numpy oracle
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from raytpu.config import RenderConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="raytpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--zoom", type=float, default=-4.0)
+    p.add_argument("--alias-factor", type=int, default=3)
+    p.add_argument("--max-depth", type=int, default=5)
+    p.add_argument("--chunk-pixels", type=int, default=8192)
+    p.add_argument("--scene", choices=["default", "single", "random"],
+                   default="default")
+    p.add_argument("--num-spheres", type=int, default=64,
+                   help="sphere count for --scene random")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bg-opacity", type=float, default=1.0,
+                   help="background-medium opacity (undefined in the "
+                        "reference; see raytpu.scene.Medium)")
+    p.add_argument("-o", "--output", default=None, help="output PPM path")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the pixel grid over all devices")
+    p.add_argument("--oracle", action="store_true",
+                   help="render with the strict numpy oracle (slow)")
+    p.add_argument("--time", action="store_true", dest="timeit",
+                   help="print timing/Mrays/s stats as JSON")
+    p.add_argument("--list-devices", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (overrides any platform "
+                        "auto-registration)")
+    return p
+
+
+def make_scene(args):
+    from raytpu import scene as S
+    if args.scene == "default":
+        return S.default_scene(bg_opacity=args.bg_opacity)
+    if args.scene == "single":
+        return S.single_sphere_scene()
+    return S.random_scene(args.num_spheres, seed=args.seed)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.list_devices:
+        from raytpu.parallel.mesh import describe_devices
+        print(describe_devices())
+        return 0
+
+    cfg = RenderConfig(width=args.width, height=args.height, zoom=args.zoom,
+                       alias_factor=args.alias_factor, max_depth=args.max_depth,
+                       chunk_pixels=args.chunk_pixels)
+    scene = make_scene(args)
+
+    if args.oracle:
+        from raytpu.oracle import render_oracle
+        img = render_oracle(scene, cfg)
+    elif args.timeit:
+        from raytpu.parallel.mesh import make_mesh
+        from raytpu.render import render_timed
+        mesh = make_mesh() if args.sharded else None
+        img, stats = render_timed(scene, cfg, mesh)
+        stats_out = {k: v for k, v in stats.items() if k != "times"}
+        print(json.dumps(stats_out))
+    else:
+        import jax
+        if args.sharded:
+            from raytpu.render import render_sharded
+            img = jax.block_until_ready(render_sharded(scene, cfg))
+        else:
+            from raytpu.trace import render_image
+            img = jax.block_until_ready(render_image(scene, cfg))
+
+    if args.output:
+        import numpy as np
+
+        from raytpu.image import write_ppm
+        write_ppm(np.asarray(img), args.output)
+        print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

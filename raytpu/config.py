@@ -42,6 +42,15 @@ class RenderConfig:
     image_world_height: float = 12.0
     chunk_pixels: int = 8192
 
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError(f"image size must be positive, got "
+                             f"{self.width}x{self.height}")
+        if self.alias_factor < 1:
+            raise ValueError(f"alias_factor must be >= 1, got {self.alias_factor}")
+        if self.max_depth < 0:
+            raise ValueError(f"max_depth must be >= 0, got {self.max_depth}")
+
     @property
     def num_pixels(self) -> int:
         return self.width * self.height

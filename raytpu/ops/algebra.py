@@ -10,8 +10,9 @@ valid root (nroots==1) or are unspecified (nroots==0).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-TOL = jnp.float32(1e-3)
+TOL = np.float32(1e-3)  # module constant: np, not jnp, so import stays backend-free
 
 
 def is_zero(x):
@@ -28,9 +29,16 @@ def _safe_div(num, den):
     return num / den_ok
 
 
-def _safe_sqrt(x):
-    """sqrt clamped at 0; gradient-safe at the clamp (masked lanes)."""
-    return jnp.sqrt(jnp.maximum(x, jnp.float32(0.0)))
+def safe_sqrt(x):
+    """sqrt(x) for x > 0, else 0 — with the double-where so reverse-mode AD
+    sees a finite derivative on the clamped branch (sqrt'(0) is infinite, and
+    inf * 0 from a mask is NaN without the inner where)."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, jnp.float32(1.0))),
+                     jnp.float32(0.0))
+
+
+_safe_sqrt = safe_sqrt
 
 
 def solve_quadratic(a, b, c):

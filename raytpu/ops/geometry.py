@@ -22,18 +22,21 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-K_RAY_EPS = jnp.float32(1e-5)        # raytracer.h:86
-K_SMALLEST_T_INIT = jnp.float32(1e4)  # raytracer.h:119
-K_MAX_RENDER_DIST = jnp.float32(1e3)  # raytracer.h:156
-K_CONTAIN_EPS = jnp.float32(1e-6)     # raytracer.h:252
+from raytpu.ops.algebra import safe_sqrt
+
+K_RAY_EPS = np.float32(1e-5)        # raytracer.h:86
+K_SMALLEST_T_INIT = np.float32(1e4)  # raytracer.h:119
+K_MAX_RENDER_DIST = np.float32(1e3)  # raytracer.h:156
+K_CONTAIN_EPS = np.float32(1e-6)     # raytracer.h:252
 
 
 def dot3(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def normalize(v, eps=jnp.float32(0.0)):
+def normalize(v):
     """vnorm (vec.h:41): v / |v|.  The C macro divides by zero for a null
     vector; callers here mask such lanes, and the guarded denominator keeps
     both values and gradients finite on them."""
@@ -68,7 +71,7 @@ def ray_sphere_t(origin, direction, centers, radii):
     radicand = b * b - jnp.float32(4.0) * a * c
     has_real = radicand >= 0
 
-    root = jnp.sqrt(jnp.maximum(radicand, jnp.float32(0.0)))
+    root = safe_sqrt(radicand)
     denom = jnp.float32(2.0) * a
     denom = jnp.where(denom == 0, jnp.float32(1.0), denom)  # a==0 => b==0, both roots 0 => invalid
     u0 = (-b + root) / denom

@@ -21,8 +21,9 @@ golden-image tests.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-from raytpu.ops.algebra import solve_quadratic
+from raytpu.ops.algebra import safe_sqrt, solve_quadratic
 from raytpu.ops.geometry import (
     K_MAX_RENDER_DIST,
     dot3,
@@ -31,9 +32,9 @@ from raytpu.ops.geometry import (
     ray_sphere_t,
 )
 
-K_MIN_INTENSITY = jnp.float32(1e-3)   # kMinOpticalIntesity, raytracer.h:236
-K_SMALL_SHIFT = jnp.float32(0.01)     # raytracer.h:688, :831
-K_FRESNEL_EPS = jnp.float32(1e-6)     # raytracer.h:376
+K_MIN_INTENSITY = np.float32(1e-3)   # kMinOpticalIntesity, raytracer.h:236
+K_SMALL_SHIFT = np.float32(0.01)     # raytracer.h:688, :831
+K_FRESNEL_EPS = np.float32(1e-6)     # raytracer.h:376
 
 
 def is_significant(colour):
@@ -126,7 +127,7 @@ def refract(point, normal, direction, medium_ior, spheres, bg):
     """
     one = jnp.float32(1.0)
     cos_a1 = jnp.clip(dot3(direction, normal), -one, one)
-    sin_a1 = jnp.sqrt(jnp.maximum(one - cos_a1 * cos_a1, jnp.float32(0.0)))
+    sin_a1 = safe_sqrt(one - cos_a1 * cos_a1)
 
     probe = point + K_SMALL_SHIFT * direction
     target_idx = primary_container(probe, spheres)
@@ -158,7 +159,7 @@ def refract(point, normal, direction, medium_ior, spheres, bg):
         take1[..., None], cand1,
         jnp.where(take0[..., None], cand0, jnp.zeros_like(direction)))
 
-    cos_a2 = jnp.sqrt(jnp.maximum(one - sin_a2 * sin_a2, jnp.float32(0.0)))
+    cos_a2 = safe_sqrt(one - sin_a2 * sin_a2)
     cos_a2 = jnp.where(cos_a1 < 0, -cos_a2, cos_a2)
 
     rs = polarised_reflection(medium_ior, target_ior, cos_a1, cos_a2)

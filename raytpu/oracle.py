@@ -67,7 +67,11 @@ GPU_STACK_CAP = 5            # raytrace_kernel.cl:58
 class OracleScene:
     """Plain-numpy SoA copy of a raytpu.scene.Scene."""
 
-    def __init__(self, scene, bg_opacity=None):
+    def __init__(self, scene, bg_opacity=None, fresnel_double=True):
+        # fresnel_double: CPU builds widen the Fresnel intermediates to
+        # double (raytracer.h:380-384); the GPU kernel stays float
+        # (raytrace_kernel.cl:409-410).
+        self.fresnel_double = fresnel_double
         sp = scene.spheres
         self.pos = np.asarray(sp.pos, F)
         self.radius = np.asarray(sp.radius, F)
@@ -182,13 +186,15 @@ def _calculate_matte(point, normal, sc):
     return total
 
 
-def _polarised_reflection(n1, n2, cos1, cos2):
-    """polarisedReflection, CPU build (raytracer.h:370-403): the
-    numerator/denominator are widened to double mid-expression."""
+def _polarised_reflection(n1, n2, cos1, cos2, double_prec=True):
+    """polarisedReflection (raytracer.h:370-403).  CPU builds widen the
+    numerator/denominator to double mid-expression; the GPU kernel
+    (raytrace_kernel.cl:399-432) stays in float throughout."""
+    wide = D if double_prec else F
     left = n1 * cos1
     right = n2 * cos2
-    num = (left - right).astype(D)
-    den = (left + right).astype(D)
+    num = (left - right).astype(wide)
+    den = (left + right).astype(wide)
     den = den * den
     with np.errstate(invalid="ignore", divide="ignore"):
         refl = ((num * num) / den).astype(F)
@@ -268,8 +274,8 @@ def _calculate_refraction(point, normal, d, intensity, med_ior, sc):
         cos2 = np.sqrt(F(1.0) - sin2 * sin2)  # NaN under TIR, like the C sqrt
     cos2 = np.where(cos1 < 0, -cos2, cos2)
 
-    rs = _polarised_reflection(med_ior, t_ior, cos1, cos2)
-    rp = _polarised_reflection(med_ior, t_ior, cos2, cos1)
+    rs = _polarised_reflection(med_ior, t_ior, cos1, cos2, sc.fresnel_double)
+    rp = _polarised_reflection(med_ior, t_ior, cos2, cos1, sc.fresnel_double)
     factor = ((rs + rp).astype(D) * D(0.5)).astype(F)  # raytracer.h:798
 
     child_i = (F(1.0) - factor)[:, None] * intensity
@@ -344,9 +350,10 @@ def _trace(o, d, intensity, med_matte, med_ior, med_opacity, anc,
     return out
 
 
-def trace_oracle(scene, origins, dirs, cap=CPU_STACK_CAP, bg_opacity=None):
+def trace_oracle(scene, origins, dirs, cap=CPU_STACK_CAP, bg_opacity=None,
+                 fresnel_double=True):
     """Trace a flat (B, 3) ray batch with strict reference semantics."""
-    sc = OracleScene(scene, bg_opacity)
+    sc = OracleScene(scene, bg_opacity, fresnel_double)
     b = dirs.shape[0]
     o = np.broadcast_to(np.asarray(origins, F), (b, 3)).copy()
     d = np.asarray(dirs, F)
@@ -376,8 +383,15 @@ def camera_dirs_oracle(cfg, sample_i, sample_j):
     return np.stack([x * inv, y * inv, z * inv], axis=-1)
 
 
-def render_oracle(scene, cfg, cap=CPU_STACK_CAP, bg_opacity=None):
-    """Full-frame strict render -> (H, W, 3) float32 linear colour."""
+def render_oracle(scene, cfg, cap=CPU_STACK_CAP, bg_opacity=None,
+                  fresnel_double=True):
+    """Full-frame strict render -> (H, W, 3) float32 linear colour.
+
+    Defaults model the reference CPU build; the configuration that
+    reproduces the repo's primary golden `testPPM.ppm` (a GPU render) is
+    cap=5, bg_opacity=0.0, fresnel_double=False — established empirically
+    (97.9%+ byte-exact, see tests/test_golden.py).
+    """
     p = cfg.num_pixels
     acc = np.zeros((p, 3), F)
     weight = F(1.0) / F(cfg.alias_factor * cfg.alias_factor)
@@ -385,6 +399,7 @@ def render_oracle(scene, cfg, cap=CPU_STACK_CAP, bg_opacity=None):
     for i in range(cfg.alias_factor):
         for j in range(cfg.alias_factor):
             dirs = camera_dirs_oracle(cfg, i, j)
-            col = trace_oracle(scene, origin, dirs, cap, bg_opacity)
+            col = trace_oracle(scene, origin, dirs, cap, bg_opacity,
+                               fresnel_double)
             acc = acc + weight * col
     return acc.reshape(cfg.height, cfg.width, 3)

@@ -1,0 +1,81 @@
+"""Render drivers: single-device jit, multi-chip shard_map, timing.
+
+This is the reference host driver (main.cpp:94-508) rebuilt TPU-first: scene
+construction is a pytree (raytpu.scene), "kernel launch geometry"
+(main.cpp:296-334) becomes a pixel-axis sharding over a device mesh, the
+blocking buffer uploads/readbacks become jax device placement, and the
+wall-clock timing around enqueue+finish (main.cpp:352-374) becomes
+block_until_ready timing with a rays/s derivation.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from raytpu.config import RenderConfig
+from raytpu.parallel.mesh import PIXEL_AXIS, make_mesh
+from raytpu.trace import render_image, render_pixels
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_render_fn(cfg: RenderConfig, mesh):
+    """Compile one sharded render: pixel ids block-sharded over the mesh's
+    pixel axis, scene replicated, zero collectives (pixels independent)."""
+
+    def body(scene, gid):
+        return render_pixels(scene, cfg, gid)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)),
+                   out_specs=P(PIXEL_AXIS))
+    return jax.jit(fn)
+
+
+def render_sharded(scene, cfg: RenderConfig, mesh=None):
+    """Render the frame with the pixel grid sharded across all devices.
+
+    Pads the pixel count up to a multiple of the mesh size by re-rendering
+    the last pixel (discarded), so any image size works on any mesh.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n = int(mesh.devices.size)
+    p = cfg.num_pixels
+    per = -(-p // n)
+    gid = jnp.minimum(jnp.arange(per * n, dtype=jnp.int32), p - 1)
+    out = _sharded_render_fn(cfg, mesh)(scene, gid)
+    return out[:p].reshape(cfg.height, cfg.width, 3)
+
+
+def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
+                 iters: int = 3):
+    """Render and time it (compile excluded via warmup), returning
+    (image, stats).  Mrays/s counts camera rays (pixels * alias^2), the
+    same accounting as the reference's per-work-item model; `traced_rays`
+    additionally counts every node of the 2^depth bounce tree."""
+    fn = (lambda s: render_sharded(s, cfg, mesh)) if mesh is not None \
+        else (lambda s: render_image(s, cfg))
+    for _ in range(max(warmup, 0)):
+        img = jax.block_until_ready(fn(scene))
+    times = []
+    for _ in range(max(iters, 1)):
+        t0 = time.perf_counter()
+        img = jax.block_until_ready(fn(scene))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    primary = cfg.rays_per_frame
+    tree = (2 ** (cfg.max_depth + 1) - 1) * primary
+    stats = dict(
+        seconds=dt,
+        primary_rays=primary,
+        traced_rays=tree,
+        mrays_per_s=primary / dt / 1e6,
+        traced_mrays_per_s=tree / dt / 1e6,
+        times=times,
+    )
+    return img, stats

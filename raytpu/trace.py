@@ -36,11 +36,14 @@ from raytpu.ops.geometry import closest_hit, normalize
 from raytpu.ops.shading import is_significant, matte_light_sum, reflect, refract
 
 
-def camera_rays(cfg: RenderConfig, sample_i: int, sample_j: int):
-    """Unit direction for every pixel of supersample (i, j), shape (H*W, 3).
+def camera_rays(cfg: RenderConfig, sample_i: int, sample_j: int, gid=None):
+    """Unit direction for pixels `gid` (default: all H*W) of supersample
+    (i, j), shape (len(gid), 3).
 
     Mirrors raytrace_kernel.cl:910-952 (see module docstring).  The camera
-    sits at the origin with intensity (1,1,1).
+    sits at the origin with intensity (1,1,1).  Passing an explicit `gid`
+    block lets a shard_map caller generate only its own pixel shard on
+    device — the multi-chip analogue of the per-work-item gid math.
     """
     w = jnp.float32(cfg.width)
     h = jnp.float32(cfg.height)
@@ -49,7 +52,8 @@ def camera_rays(cfg: RenderConfig, sample_i: int, sample_j: int):
     aspect = jnp.float32(cfg.image_world_width) / jnp.float32(cfg.image_world_height)
     sub = xstep / jnp.float32(cfg.alias_factor)
 
-    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    if gid is None:
+        gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
     ix = (gid % cfg.width).astype(jnp.float32)
     iy = (gid // cfg.width).astype(jnp.float32)
     px = (ix - w * jnp.float32(0.5)) * xstep
@@ -165,45 +169,48 @@ def trace_rays(scene, origin, direction, intensity, max_depth: int):
     return total
 
 
-def _render_chunk(scene, dirs_per_sample, max_depth: int, weight):
-    """Render one pixel chunk: loop the (static) supersample patterns,
-    tracing each pattern's rays through the full tree."""
-    acc = jnp.zeros((dirs_per_sample.shape[1], 3), jnp.float32)
+def _render_gid_chunk(scene, gid, cfg: RenderConfig):
+    """Render one chunk of pixel ids: loop the (static) supersample patterns,
+    tracing each pattern's rays through the full bounce tree and averaging
+    with the reference's 1/aliasFactor^2 weight (raytrace_kernel.cl:945-968)."""
+    acc = jnp.zeros((gid.shape[0], 3), jnp.float32)
     origin = jnp.zeros((1, 3), jnp.float32)
-    for s in range(dirs_per_sample.shape[0]):
-        d = dirs_per_sample[s]
-        colour = trace_rays(scene, origin, d, jnp.ones_like(d), max_depth)
-        acc = acc + weight * colour
+    weight = jnp.float32(1.0 / cfg.samples_per_pixel)
+    for i in range(cfg.alias_factor):
+        for j in range(cfg.alias_factor):
+            d = camera_rays(cfg, i, j, gid)
+            colour = trace_rays(scene, origin, d, jnp.ones_like(d),
+                                cfg.max_depth)
+            acc = acc + weight * colour
     return acc
+
+
+def render_pixels(scene, cfg: RenderConfig, gid):
+    """Render an arbitrary flat block of pixel ids -> (B, 3) linear colour.
+
+    Chunks the block with lax.map so the 2^depth ray tree's live memory stays
+    bounded; this is also the per-shard body for the multi-chip driver
+    (raytpu.render.render_sharded), where `gid` is one device's pixel shard.
+    """
+    b = gid.shape[0]
+    chunk = min(cfg.chunk_pixels, b)
+    num_chunks = -(-b // chunk)
+    pad = num_chunks * chunk - b
+    if pad:
+        gid = jnp.concatenate([gid, jnp.zeros(pad, gid.dtype)])
+    out = jax.lax.map(
+        functools.partial(_render_gid_chunk, scene, cfg=cfg),
+        gid.reshape(num_chunks, chunk))
+    return out.reshape(-1, 3)[:b]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_image(scene, cfg: RenderConfig):
-    """Render the full frame: (H, W, 3) float32 linear colour.
+    """Render the full frame on one device: (H, W, 3) float32 linear colour.
 
     Equivalent of the per-pixel kernel + host readback (raytrace_kernel.cl:870
-    + main.cpp:460-468) — supersample directions are generated per pattern,
-    traced in pixel chunks (lax.map bounds the 2^depth tree's live memory),
-    and averaged with the reference's 1/aliasFactor^2 weight.
+    + main.cpp:460-468).
     """
-    samples = [
-        camera_rays(cfg, i, j)
-        for i in range(cfg.alias_factor) for j in range(cfg.alias_factor)
-    ]
-    dirs = jnp.stack(samples)                     # (S, P, 3)
-    weight = jnp.float32(1.0 / cfg.samples_per_pixel)
-
-    p = cfg.num_pixels
-    chunk = min(cfg.chunk_pixels, p)
-    num_chunks = -(-p // chunk)
-    pad = num_chunks * chunk - p
-    if pad:
-        dirs = jnp.pad(dirs, ((0, 0), (0, pad), (0, 0)),
-                       constant_values=jnp.float32(1.0))
-    dirs = dirs.reshape(dirs.shape[0], num_chunks, chunk, 3).transpose(1, 0, 2, 3)
-
-    render = functools.partial(_render_chunk, scene,
-                               max_depth=cfg.max_depth, weight=weight)
-    out = jax.lax.map(render, dirs)               # (num_chunks, chunk, 3)
-    out = out.reshape(-1, 3)[:p]
+    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    out = render_pixels(scene, cfg, gid)
     return out.reshape(cfg.height, cfg.width, 3)
