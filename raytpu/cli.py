@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-spheres", type=int, default=64,
                    help="sphere count for --scene random")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--bg-opacity", type=float, default=1.0,
+    p.add_argument("--bg-opacity", type=float, default=0.0,
                    help="background-medium opacity (undefined in the "
                         "reference; see raytpu.scene.Medium)")
     p.add_argument("-o", "--output", default=None, help="output PPM path")
