@@ -32,21 +32,32 @@ def main():
                 width=cfg.width, height=cfg.height, depth=cfg.max_depth,
                 alias=cfg.alias_factor)
 
-    # Forward
+    # Forward (auto backend: fused Pallas kernel on TPU)
     _, fwd = render_timed(scene, cfg, warmup=1, iters=3)
+    try:
+        _, fwd_jnp = render_timed(scene, cfg, warmup=1, iters=3,
+                                  backend="jnp")
+    except Exception:
+        fwd_jnp = None
 
-    # Forward + backward (loss + scene-parameter gradients)
-    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    # Forward + backward (loss + scene-parameter gradients): the fused
+    # Pallas kernels on TPU, jnp autodiff elsewhere.
     target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    if jax.default_backend() == "tpu":
+        from raytpu.grad import loss_and_grad_pallas as _lg
+    else:
+        _lg = loss_and_grad
 
     def step(s):
-        return loss_and_grad(s, cfg, target)
+        return _lg(s, cfg, target)
 
-    out = jax.block_until_ready(step(scene))  # compile
+    # float() on the loss is the completion barrier (block_until_ready is
+    # advisory on the remote-TPU platform).
+    loss = float(step(scene)[0])  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(step(scene))
+        loss = float(step(scene)[0])
         times.append(time.perf_counter() - t0)
     bwd_dt = min(times)
     fwd_bwd_mrays = cfg.rays_per_frame / bwd_dt / 1e6
@@ -57,8 +68,11 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": None,  # the reference publishes no numbers (BASELINE.md)
         "fwd_mrays_per_s": round(fwd["mrays_per_s"], 3),
+        "fwd_backend": fwd["backend"],
         "fwd_seconds": round(fwd["seconds"], 4),
         "fwd_bwd_seconds": round(bwd_dt, 4),
+        "fwd_jnp_mrays_per_s": (round(fwd_jnp["mrays_per_s"], 3)
+                                if fwd_jnp else None),
         **meta,
     }
     print(json.dumps(result))

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render with the strict numpy oracle (slow)")
     p.add_argument("--time", action="store_true", dest="timeit",
                    help="print timing/Mrays/s stats as JSON")
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas"],
+                   default="auto",
+                   help="compute path: fused Pallas TPU kernel or the "
+                        "XLA-fused jnp tracer (auto: pallas on TPU)")
     p.add_argument("--list-devices", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (overrides any platform "
@@ -82,17 +86,19 @@ def main(argv=None) -> int:
         from raytpu.parallel.mesh import make_mesh
         from raytpu.render import render_timed
         mesh = make_mesh() if args.sharded else None
-        img, stats = render_timed(scene, cfg, mesh)
+        img, stats = render_timed(scene, cfg, mesh, backend=args.backend)
         stats_out = {k: v for k, v in stats.items() if k != "times"}
         print(json.dumps(stats_out))
     else:
         import jax
         if args.sharded:
             from raytpu.render import render_sharded
-            img = jax.block_until_ready(render_sharded(scene, cfg))
+            img = jax.block_until_ready(
+                render_sharded(scene, cfg, backend=args.backend))
         else:
-            from raytpu.trace import render_image
-            img = jax.block_until_ready(render_image(scene, cfg))
+            from raytpu.render import render_single
+            img = jax.block_until_ready(
+                render_single(scene, cfg, backend=args.backend))
 
     if args.output:
         import numpy as np

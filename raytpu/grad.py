@@ -50,8 +50,22 @@ def image_loss(scene, cfg: RenderConfig, target_flat, gid=None):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def loss_and_grad(scene, cfg: RenderConfig, target_flat):
-    """Single-device loss + gradient w.r.t. every scene leaf."""
+    """Single-device loss + gradient w.r.t. every scene leaf (jnp autodiff)."""
     return jax.value_and_grad(image_loss)(scene, cfg, target_flat)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def loss_and_grad_pallas(scene, cfg: RenderConfig, target_flat):
+    """Loss + gradients via the fused Pallas forward/backward kernels
+    (raytpu.kernels.trace_pallas) — the fast TPU path.  Requires a
+    statically-unrollable sphere count (kernels' BWD_MAX_SPHERES)."""
+    from raytpu.kernels.trace_pallas import render_pixels_pallas_ad
+
+    def loss(s):
+        err = render_pixels_pallas_ad(s, cfg) - target_flat
+        return jnp.mean(err * err)
+
+    return jax.value_and_grad(loss)(scene)
 
 
 @functools.lru_cache(maxsize=16)

@@ -1,0 +1,694 @@
+"""Fused Pallas TPU forward kernel: camera -> bounce tree -> pixel tile.
+
+This is the whole per-pixel OpenCL kernel (raytrace_kernel.cl:870-973) plus
+the tracer it calls, fused into one Pallas kernel:
+
+  * The pixel grid is tiled (TILE_ROWS x 128 pixels per grid step); rays live
+    on the VPU lanes axis, so every elementwise op below is an (R, 128)
+    vector op with zero padding waste.
+  * The scene is staged once into on-chip memory for the whole tile — the
+    TPU version of the kernel's cooperative __local copy + barrier
+    (raytrace_kernel.cl:890-907): sphere/light fields sit in SMEM and are
+    broadcast as scalars inside a fori_loop over spheres, which is exactly
+    the reference's per-sphere loop (raytracer.h:161-190) vectorized over
+    rays instead of serialised per ray.
+  * The recursion is the same breadth-first bounce tree as raytpu.trace:
+    each level doubles the sublane dimension (refraction children stacked
+    on reflection children), emissions fold back onto the pixel tile by a
+    row-block reduction.
+  * Supersampling runs as the innermost grid dimension, accumulating into
+    the output tile across sequential grid steps (TPU grids are sequential,
+    so read-modify-write accumulation is safe).
+
+Numerics match raytpu.trace's clean mode bit-for-bit-ish (same f32 op
+order); tests/test_pallas.py pins kernel-vs-jnp agreement.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.config import RenderConfig
+
+LANES = 128
+TILE_ROWS = 8
+TILE_PIXELS = TILE_ROWS * LANES
+
+# Scene SMEM row layout: [pos_x, pos_y, pos_z, radius, matte_rgb x3,
+# gloss_rgb x3, opacity, ior]
+_S_PX, _S_PY, _S_PZ, _S_RAD = 0, 1, 2, 3
+_S_MR, _S_MG, _S_MB = 4, 5, 6
+_S_GR, _S_GG, _S_GB = 7, 8, 9
+_S_OP, _S_IOR = 10, 11
+SCENE_ROWS = 12
+# Light SMEM rows: [pos_x, pos_y, pos_z, col_r, col_g, col_b]
+LIGHT_ROWS = 6
+
+_EPS_RAY = np.float32(1e-5)
+_EPS_CONTAIN = np.float32(1e-6)
+_EPS_FRESNEL = np.float32(1e-6)
+_MAX_DIST = np.float32(1e3)
+_BIG_T = np.float32(1e4)
+_MIN_SIG = np.float32(1e-3)
+_SHIFT = np.float32(0.01)
+_TOL = np.float32(1e-3)
+
+f32 = jnp.float32
+
+
+def _sqrt_pos(x):
+    """sqrt(x) clamped at 0, with the double-where so the backward kernel's
+    jax.vjp sees a finite derivative on clamped lanes (sqrt'(0) is inf)."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, f32(1.0))), f32(0.0))
+
+
+# Mosaic's scf.for lowering rejects boolean vector carries, so the sphere
+# loops below carry f32 0/1 masks instead of bools, and small sphere counts
+# unroll statically (which also lets the compiler fold the SMEM broadcasts).
+UNROLL_SPHERES = 16
+
+
+class _ScalarTable:
+    """SMEM-ref-like [row, i] indexing over a tuple-of-tuples of traced
+    scalars — the backward kernel reads the whole scene into values once so
+    jax.vjp can differentiate through the sphere loops (which must then be
+    statically unrolled: the column index has to be a python int)."""
+
+    def __init__(self, vals):
+        self.vals = vals
+
+    def __getitem__(self, key):
+        row, i = key
+        return self.vals[row][i]
+
+
+def _needs_unroll(table) -> bool:
+    return isinstance(table, _ScalarTable)
+
+
+def _sphere_loop(n, body, init, force_unroll=False):
+    if force_unroll or n <= UNROLL_SPHERES:
+        carry = init
+        for i in range(n):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, body, init)
+
+
+def _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, cx, cy, cz, rad):
+    """raySphere (raytracer.h:81-141) for one sphere, vectorized over rays."""
+    px = ox - cx
+    py = oy - cy
+    pz = oz - cz
+    b = f32(2.0) * (dx * px + dy * py + dz * pz)
+    c = (px * px + py * py + pz * pz) - rad * rad
+    radicand = b * b - f32(4.0) * a * c
+    has_real = radicand >= 0
+    root = _sqrt_pos(radicand)
+    denom = jnp.where(a == 0, f32(1.0), f32(2.0) * a)
+    u0 = (-b + root) / denom
+    u1 = (-b - root) / denom
+    t0 = jnp.where(has_real & (u0 > _EPS_RAY), u0, _BIG_T)
+    t1 = jnp.where(has_real & (u1 > _EPS_RAY), u1, _BIG_T)
+    t = jnp.minimum(t0, t1)
+    return t, t < _BIG_T
+
+
+def _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz):
+    """calcIntersection (raytracer.h:145-194): fori over spheres carrying the
+    running minimum plus the winning sphere's fields (strict '<' keeps the
+    lowest index on ties, matching the C loop order)."""
+    a = dx * dx + dy * dy + dz * dz
+    shape = ox.shape
+    big = jnp.full(shape, _MAX_DIST)
+    zero = jnp.zeros(shape, f32)
+
+    def body(i, carry):
+        (min_t, found, cx, cy, cz, mr, mg, mb, gr, gg, gb, op, ior) = carry
+        sx, sy, sz = scene[_S_PX, i], scene[_S_PY, i], scene[_S_PZ, i]
+        t, ok = _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, sx, sy, sz,
+                              scene[_S_RAD, i])
+        better = ok & (t < min_t)
+        sel = lambda new, old: jnp.where(better, new, old)
+        return (sel(t, min_t), jnp.maximum(found, sel(f32(1.0), found)),
+                sel(sx, cx), sel(sy, cy), sel(sz, cz),
+                sel(scene[_S_MR, i], mr), sel(scene[_S_MG, i], mg),
+                sel(scene[_S_MB, i], mb),
+                sel(scene[_S_GR, i], gr), sel(scene[_S_GG, i], gg),
+                sel(scene[_S_GB, i], gb),
+                sel(scene[_S_OP, i], op), sel(scene[_S_IOR, i], ior))
+
+    init = (big, zero, zero, zero, zero,
+            zero, zero, zero, zero, zero, zero, zero, zero)
+    (min_t, found_m, cx, cy, cz, mr, mg, mb, gr, gg, gb, op, ior) = \
+        _sphere_loop(n_spheres, body, init, _needs_unroll(scene))
+    found = found_m > 0
+
+    hx = ox + min_t * dx
+    hy = oy + min_t * dy
+    hz = oz + min_t * dz
+    nx, ny, nz = hx - cx, hy - cy, hz - cz
+    n2 = nx * nx + ny * ny + nz * nz
+    inv = jax.lax.rsqrt(jnp.where(n2 == 0, f32(1.0), n2))
+    return dict(t=min_t, found=found, hx=hx, hy=hy, hz=hz,
+                nx=nx * inv, ny=ny * inv, nz=nz * inv,
+                mr=mr, mg=mg, mb=mb, gr=gr, gg=gg, gb=gb, op=op, ior=ior)
+
+
+def _shadow_blocked(scene, n_spheres, px, py, pz, lx, ly, lz, gap):
+    """hasClearLineOfSight (raytracer.h:272-309), inverted: any sphere with a
+    root t in (1e-5, 1000) and t^2 < |light - point|^2 blocks."""
+    inv = jax.lax.rsqrt(jnp.where(gap == 0, f32(1.0), gap))
+    dx, dy, dz = (lx - px) * inv, (ly - py) * inv, (lz - pz) * inv
+    a = dx * dx + dy * dy + dz * dz
+
+    def body(i, blocked):
+        t, ok = _ray_sphere_t(px, py, pz, dx, dy, dz, a,
+                              scene[_S_PX, i], scene[_S_PY, i],
+                              scene[_S_PZ, i], scene[_S_RAD, i])
+        hit = ok & (t < _MAX_DIST) & (t * t < gap)
+        return jnp.where(hit, f32(1.0), blocked)
+
+    mask = _sphere_loop(n_spheres, body, jnp.zeros(px.shape, f32),
+                        _needs_unroll(scene))
+    return mask > 0
+
+
+def _matte_sum(scene, lights, n_spheres, n_lights, hx, hy, hz, nx, ny, nz):
+    """calculateMatte (raytracer.h:313-367): static unroll over lights."""
+    sr = jnp.zeros(hx.shape, f32)
+    sg = jnp.zeros(hx.shape, f32)
+    sb = jnp.zeros(hx.shape, f32)
+    for l in range(n_lights):
+        lx, ly, lz = lights[0, l], lights[1, l], lights[2, l]
+        ex, ey, ez = lx - hx, ly - hy, lz - hz
+        gap = ex * ex + ey * ey + ez * ez
+        inv = jax.lax.rsqrt(jnp.where(gap == 0, f32(1.0), gap))
+        incidence = nx * ex * inv + ny * ey * inv + nz * ez * inv
+        blocked = _shadow_blocked(scene, n_spheres, hx, hy, hz, lx, ly, lz, gap)
+        w = jnp.where(~blocked & (incidence > 0), incidence / gap, f32(0.0))
+        sr = sr + w * lights[3, l]
+        sg = sg + w * lights[4, l]
+        sb = sb + w * lights[5, l]
+    return sr, sg, sb
+
+
+def _primary_container(scene, n_spheres, px, py, pz):
+    """primaryContainer (raytracer.h:245-270): first containing sphere's
+    medium fields (matte rgb, ior, opacity) or the background's."""
+
+    def body(i, carry):
+        got, mr, mg, mb, ior, op = carry
+        ex = px - scene[_S_PX, i]
+        ey = py - scene[_S_PY, i]
+        ez = pz - scene[_S_PZ, i]
+        r = scene[_S_RAD, i] + _EPS_CONTAIN
+        inside = (ex * ex + ey * ey + ez * ez <= r * r) & (got == 0)
+        sel = lambda new, old: jnp.where(inside, new, old)
+        return (sel(f32(1.0), got),
+                sel(scene[_S_MR, i], mr), sel(scene[_S_MG, i], mg),
+                sel(scene[_S_MB, i], mb), sel(scene[_S_IOR, i], ior),
+                sel(scene[_S_OP, i], op))
+
+    shape = px.shape
+    init = (jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.ones(shape, f32), jnp.zeros(shape, f32))
+    got, mr, mg, mb, ior, op = _sphere_loop(n_spheres, body, init,
+                                            _needs_unroll(scene))
+    return got > 0, mr, mg, mb, ior, op
+
+
+def _fresnel(n1, n2, c1, c2):
+    """polarisedReflection (raytracer.h:370-403), float32."""
+    left = n1 * c1
+    right = n2 * c2
+    num = left - right
+    den2 = (left + right) * (left + right)
+    refl = jnp.minimum(num * num / jnp.where(den2 < _EPS_FRESNEL, f32(1.0), den2),
+                       f32(1.0))
+    return jnp.where(den2 < _EPS_FRESNEL, f32(1.0), refl)
+
+
+def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn):
+    """One bounce level on SoA ray state; mirrors raytpu.trace._trace_level
+    (see its docstring for the reference-semantics map).  `bg` is a dict of
+    background-medium scalars (traced values read from SMEM)."""
+    (ox, oy, oz, dx, dy, dz, ir, ig, ib, mmr, mmg, mmb, mior, mop) = state
+    hit = _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz)
+    sig = (ir >= _MIN_SIG) | (ig >= _MIN_SIG) | (ib >= _MIN_SIG)
+    live = hit["found"] & sig
+
+    miss = ~hit["found"]
+    er = jnp.where(miss, ir * mmr, f32(0.0))
+    eg = jnp.where(miss, ig * mmg, f32(0.0))
+    eb = jnp.where(miss, ib * mmb, f32(0.0))
+
+    opacity = hit["op"]
+    transparency = f32(1.0) - opacity
+    sr, sg, sb = _matte_sum(scene, lights, n_spheres, n_lights,
+                            hit["hx"], hit["hy"], hit["hz"],
+                            hit["nx"], hit["ny"], hit["nz"])
+    mgate = live & (opacity > 0)
+    er = er + jnp.where(mgate, opacity * ir * hit["mr"] * sr, f32(0.0))
+    eg = eg + jnp.where(mgate, opacity * ig * hit["mg"] * sg, f32(0.0))
+    eb = eb + jnp.where(mgate, opacity * ib * hit["mb"] * sb, f32(0.0))
+
+    if not spawn:
+        return (er, eg, eb), None
+
+    nx, ny, nz = hit["nx"], hit["ny"], hit["nz"]
+    hx, hy, hz = hit["hx"], hit["hy"], hit["hz"]
+
+    # --- Refraction (calculateRefraction, raytracer.h:642-815) ---
+    cos1 = jnp.clip(dx * nx + dy * ny + dz * nz, f32(-1.0), f32(1.0))
+    sin1 = _sqrt_pos(f32(1.0) - cos1 * cos1)
+    probe_x = hx + _SHIFT * dx
+    probe_y = hy + _SHIFT * dy
+    probe_z = hz + _SHIFT * dz
+    t_in, tmr, tmg, tmb, tior, top = _primary_container(
+        scene, n_spheres, probe_x, probe_y, probe_z)
+    tior_bg = jnp.where(t_in, tior, bg["ior"])
+    tmop = jnp.where(t_in, top, bg["opacity"])
+    tmmr = jnp.where(t_in, tmr, bg["matte_r"])
+    tmmg = jnp.where(t_in, tmg, bg["matte_g"])
+    tmmb = jnp.where(t_in, tmb, bg["matte_b"])
+
+    ratio = mior / jnp.where(tior_bg == 0, f32(1.0), tior_bg)
+    sin2 = ratio * sin1
+    tir = (sin2 <= f32(-1.0)) | (sin2 >= f32(1.0))
+
+    # solveQuadratic(1, 2 cos1, 1 - 1/ratio^2) with the TOL collapse
+    # (algebra.h:22-65); a == 1 so only the radicand branch matters.
+    qb = f32(2.0) * cos1
+    ratio2 = ratio * ratio
+    qc = f32(1.0) - f32(1.0) / jnp.where(ratio2 == 0, f32(1.0), ratio2)
+    radicand = qb * qb - f32(4.0) * qc
+    rad_zero = jnp.abs(radicand) < _TOL
+    root = _sqrt_pos(radicand)
+    dbl = -qb * f32(0.5)
+    r0 = jnp.where(rad_zero, dbl, (-qb + root) * f32(0.5))
+    r1 = jnp.where(rad_zero, dbl, (-qb - root) * f32(0.5))
+    nroots = jnp.where(rad_zero, 1, 2)
+
+    c0x, c0y, c0z = dx + r0 * nx, dy + r0 * ny, dz + r0 * nz
+    c1x, c1y, c1z = dx + r1 * nx, dy + r1 * ny, dz + r1 * nz
+    a0 = dx * c0x + dy * c0y + dz * c0z
+    a1 = jnp.where(nroots >= 2, dx * c1x + dy * c1y + dz * c1z, -jnp.inf)
+    floor = f32(-0.1)
+    take0 = a0 > floor
+    take1 = a1 > jnp.maximum(a0, floor)
+    rdx = jnp.where(take1, c1x, jnp.where(take0, c0x, f32(0.0)))
+    rdy = jnp.where(take1, c1y, jnp.where(take0, c0y, f32(0.0)))
+    rdz = jnp.where(take1, c1z, jnp.where(take0, c0z, f32(0.0)))
+
+    cos2 = _sqrt_pos(f32(1.0) - sin2 * sin2)
+    cos2 = jnp.where(cos1 < 0, -cos2, cos2)
+    rs = _fresnel(mior, tior_bg, cos1, cos2)
+    rp = _fresnel(mior, tior_bg, cos2, cos1)
+    factor = jnp.where(tir, f32(1.0), f32(0.5) * (rs + rp))
+
+    spawn_m = live & (transparency > 0)
+    rscale = jnp.where(spawn_m, transparency * (f32(1.0) - factor), f32(0.0))
+    r_ir, r_ig, r_ib = rscale * ir, rscale * ig, rscale * ib
+
+    # --- Reflection (stage 1, raytracer.h:552-615) ---
+    pr = transparency * factor
+    rcr = (pr + mop * hit["gr"]) * ir
+    rcg = (pr + mop * hit["gg"]) * ig
+    rcb = (pr + mop * hit["gb"]) * ib
+    rsig = (rcr >= _MIN_SIG) | (rcg >= _MIN_SIG) | (rcb >= _MIN_SIG)
+    ggate = spawn_m & rsig
+    g_ir = jnp.where(ggate, rcr, f32(0.0))
+    g_ig = jnp.where(ggate, rcg, f32(0.0))
+    g_ib = jnp.where(ggate, rcb, f32(0.0))
+
+    perp = f32(2.0) * (dx * nx + dy * ny + dz * nz)
+    gx, gy, gz = dx - perp * nx, dy - perp * ny, dz - perp * nz
+    g2 = gx * gx + gy * gy + gz * gz
+    ginv = jax.lax.rsqrt(jnp.where(g2 == 0, f32(1.0), g2))
+    gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
+    gox, goy, goz = hx + _SHIFT * gx, hy + _SHIFT * gy, hz + _SHIFT * gz
+
+    cat = lambda p, q: jnp.concatenate([p, q], axis=0)
+    children = (
+        cat(hx, gox), cat(hy, goy), cat(hz, goz),
+        cat(rdx, gx), cat(rdy, gy), cat(rdz, gz),
+        cat(r_ir, g_ir), cat(r_ig, g_ig), cat(r_ib, g_ib),
+        cat(tmmr, mmr), cat(tmmg, mmg), cat(tmmb, mmb),
+        cat(tior_bg, mior), cat(tmop, mop),
+    )
+    return (er, eg, eb), children
+
+
+def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
+                dx, dy, dz, early_exit=True):
+    """Run the full bounce tree for one tile's camera rays; returns the
+    un-weighted (acc_r, acc_g, acc_b) pixel sums.  `early_exit` wraps each
+    level >= 1 in a whole-tile liveness cond (exact: masked-off children
+    carry intensity exactly 0); the backward kernel disables it so jax.vjp
+    sees straight-line code."""
+    zero = jnp.zeros(dx.shape, f32)
+    one = jnp.ones(dx.shape, f32)
+    rows, lanes = dx.shape
+    state = (zero, zero, zero, dx, dy, dz, one, one, one,
+             zero + bg["matte_r"], zero + bg["matte_g"],
+             zero + bg["matte_b"], zero + bg["ior"],
+             zero + bg["opacity"])
+
+    acc_r, acc_g, acc_b = zero, zero, zero
+    for level in range(max_depth + 1):
+        spawn = level < max_depth
+
+        def compute(state=state, spawn=spawn):
+            (er, eg, eb), children = _trace_level(
+                scene, lights, n_spheres, n_lights, bg, state, spawn=spawn)
+            return (er, eg, eb), (children if spawn else ())
+
+        if level == 0 or not early_exit:
+            emissions, children = compute()
+        else:
+            ir, ig, ib = state[6], state[7], state[8]
+            alive = jnp.max(jnp.maximum(ir, jnp.maximum(ig, ib))) > 0
+
+            def dead(state=state, spawn=spawn):
+                z = jnp.zeros_like(state[6])
+                return ((z, z, z),
+                        tuple(jnp.concatenate([s, s], axis=0)
+                              for s in state) if spawn else ())
+
+            emissions, children = jax.lax.cond(alive, compute, dead)
+        er, eg, eb = emissions
+        blocks = 2 ** level
+        acc_r = acc_r + er.reshape(blocks, rows, lanes).sum(axis=0)
+        acc_g = acc_g + eg.reshape(blocks, rows, lanes).sum(axis=0)
+        acc_b = acc_b + eb.reshape(blocks, rows, lanes).sum(axis=0)
+        state = children
+    return acc_r, acc_g, acc_b
+
+
+def _camera_dirs(cfg: RenderConfig, gid, si, sj):
+    """Camera model (raytrace_kernel.cl:908-952) for an int32 gid block."""
+    alias = cfg.alias_factor
+    w, h = cfg.width, cfg.height
+    ix = (gid % w).astype(f32)
+    iy = (gid // w).astype(f32)
+    xstep = f32(cfg.image_world_width / w)
+    ystep = f32(cfg.image_world_height / h)
+    aspect = f32(cfg.image_world_width / cfg.image_world_height)
+    sub = f32(cfg.image_world_width / w / alias)
+    px = (ix - f32(w * 0.5)) * xstep
+    py = (f32(h * 0.5) - iy) * ystep
+    x = (px + sj.astype(f32) * sub) * aspect
+    y = py + si.astype(f32) * sub
+    z = jnp.full(gid.shape, f32(cfg.zoom))
+    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
+                 total_pixels: int):
+    alias = cfg.alias_factor
+    w = cfg.width
+    h = cfg.height
+
+    def kernel(scene_ref, lights_ref, bg_ref, offset_ref, out_ref):
+        bg = dict(matte_r=bg_ref[0, 0], matte_g=bg_ref[1, 0],
+                  matte_b=bg_ref[2, 0], ior=bg_ref[3, 0],
+                  opacity=bg_ref[4, 0])
+        tile = pl.program_id(0)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+        gid = offset_ref[0, 0] + tile * TILE_PIXELS + rows * LANES + lanes
+        gid = jnp.minimum(gid, total_pixels - 1)  # pad tail re-renders
+
+        # All alias^2 supersamples in one grid step (raytrace_kernel.cl:945):
+        # fewer, fatter grid steps amortise per-step dispatch overhead.
+        acc_r = jnp.zeros((TILE_ROWS, LANES), f32)
+        acc_g = jnp.zeros((TILE_ROWS, LANES), f32)
+        acc_b = jnp.zeros((TILE_ROWS, LANES), f32)
+        for si in range(alias):
+            for sj in range(alias):
+                dx, dy, dz = _camera_dirs(cfg, gid, jnp.int32(si),
+                                          jnp.int32(sj))
+                sr, sg, sb = _trace_tree(
+                    scene_ref, lights_ref, bg, n_spheres, n_lights,
+                    cfg.max_depth, dx, dy, dz, early_exit=True)
+                acc_r, acc_g, acc_b = acc_r + sr, acc_g + sg, acc_b + sb
+
+        weight = f32(1.0 / (alias * alias))
+        out_ref[:] = jnp.stack([acc_r * weight, acc_g * weight,
+                                acc_b * weight])  # (3, TILE_ROWS, LANES)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "count"))
+def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
+                         offset=0, count: int | None = None):
+    """Render `count` pixels starting at flat pixel id `offset` with the
+    fused kernel -> (count, 3) colours.
+
+    The scene rides in as two packed SMEM tables; sphere/light counts and
+    every config knob are compile-time constants, as in the reference where
+    they are kernel arguments resolved per launch (main.cpp:338-350).
+    `offset` is a traced scalar so a shard_map body can render its own pixel
+    shard (count = pixels per device, offset = shard base).
+    """
+    sph = scene.spheres
+    n_spheres = sph.pos.shape[0]
+    n_lights = scene.lights.pos.shape[0]
+
+    scene_tbl = jnp.stack([
+        sph.pos[:, 0], sph.pos[:, 1], sph.pos[:, 2], sph.radius,
+        sph.matte[:, 0], sph.matte[:, 1], sph.matte[:, 2],
+        sph.gloss[:, 0], sph.gloss[:, 1], sph.gloss[:, 2],
+        sph.opacity, sph.ior,
+    ])  # (SCENE_ROWS, N)
+    lights_tbl = jnp.stack([
+        scene.lights.pos[:, 0], scene.lights.pos[:, 1], scene.lights.pos[:, 2],
+        scene.lights.col[:, 0], scene.lights.col[:, 1], scene.lights.col[:, 2],
+    ])  # (LIGHT_ROWS, L)
+
+    bg_tbl = jnp.stack([scene.bg.matte[0], scene.bg.matte[1],
+                        scene.bg.matte[2], scene.bg.ior,
+                        scene.bg.opacity]).reshape(5, 1)
+    offset_tbl = jnp.asarray(offset, jnp.int32).reshape(1, 1)
+
+    p = cfg.num_pixels
+    if count is None:
+        count = p
+    tiles = -(-count // TILE_PIXELS)
+
+    kernel = _make_kernel(cfg, n_spheres, n_lights, p)
+    out = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((3, TILE_ROWS, LANES),
+                               lambda t: (0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, tiles * TILE_ROWS, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(scene_tbl, lights_tbl, bg_tbl, offset_tbl)
+    # (3, rows, lanes) -> (count, 3)
+    return out.reshape(3, -1).T[:count]
+
+
+def render_image_pallas(scene, cfg: RenderConfig, interpret: bool = False):
+    """(H, W, 3) frame via the fused kernel."""
+    out = render_pixels_pallas(scene, cfg, interpret=interpret)
+    return out.reshape(cfg.height, cfg.width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Backward: a hand-fused gradient kernel via custom_vjp.
+#
+# The scene is tiny (N*12 + L*6 + 5 scalars), so the backward pass reads it
+# out of SMEM into *traced scalar values* once per tile, rebuilds the whole
+# bounce tree as a pure function of those scalars, and calls jax.vjp on it
+# INSIDE the kernel — Mosaic compiles the resulting straight-line
+# forward+reverse sweep like any other kernel body.  Scene-parameter
+# cotangents accumulate across the sequential (tile, sample) grid into small
+# gradient tables.  The sphere loops must be statically unrolled for vjp
+# (lax.fori_loop has no reverse rule), so this path requires a static-unroll
+# sphere count; larger scenes fall back to the jnp autodiff path.
+# ---------------------------------------------------------------------------
+
+BWD_MAX_SPHERES = 64
+
+
+def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
+                     total_pixels: int):
+    alias = cfg.alias_factor
+
+    def kernel(scene_ref, lights_ref, bg_ref, offset_ref, g_ref,
+               gscene_ref, glights_ref, gbg_ref):
+        tile = pl.program_id(0)
+        sample = pl.program_id(1)
+        si = sample // alias
+        sj = sample % alias
+
+        sv = tuple(tuple(scene_ref[r, i] for i in range(n_spheres))
+                   for r in range(SCENE_ROWS))
+        lv = tuple(tuple(lights_ref[r, l] for l in range(n_lights))
+                   for r in range(LIGHT_ROWS))
+        bgv = tuple(bg_ref[k, 0] for k in range(5))
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+        gid = offset_ref[0, 0] + tile * TILE_PIXELS + rows * LANES + lanes
+        gid = jnp.minimum(gid, total_pixels - 1)
+        dx, dy, dz = _camera_dirs(cfg, gid, si, sj)
+
+        weight = f32(1.0 / (alias * alias))
+
+        def tree(sv_vals, lv_vals, bgv_vals):
+            scene = _ScalarTable(sv_vals)
+            lights = _ScalarTable(lv_vals)
+            bg = dict(matte_r=bgv_vals[0], matte_g=bgv_vals[1],
+                      matte_b=bgv_vals[2], ior=bgv_vals[3],
+                      opacity=bgv_vals[4])
+            ar, ag, ab = _trace_tree(scene, lights, bg, n_spheres, n_lights,
+                                     cfg.max_depth, dx, dy, dz,
+                                     early_exit=False)
+            return ar * weight, ag * weight, ab * weight
+
+        _, vjp = jax.vjp(tree, sv, lv, bgv)
+        d_sv, d_lv, d_bgv = vjp((g_ref[0], g_ref[1], g_ref[2]))
+
+        first = (tile == 0) & (sample == 0)
+
+        @pl.when(first)
+        def _():
+            for r in range(SCENE_ROWS):
+                for i in range(n_spheres):
+                    gscene_ref[r, i] = d_sv[r][i]
+            for r in range(LIGHT_ROWS):
+                for l in range(n_lights):
+                    glights_ref[r, l] = d_lv[r][l]
+            for k in range(5):
+                gbg_ref[k, 0] = d_bgv[k]
+
+        @pl.when(~first)
+        def _():
+            for r in range(SCENE_ROWS):
+                for i in range(n_spheres):
+                    gscene_ref[r, i] = gscene_ref[r, i] + d_sv[r][i]
+            for r in range(LIGHT_ROWS):
+                for l in range(n_lights):
+                    glights_ref[r, l] = glights_ref[r, l] + d_lv[r][l]
+            for k in range(5):
+                gbg_ref[k, 0] = gbg_ref[k, 0] + d_bgv[k]
+
+    return kernel
+
+
+def _scene_tables(scene):
+    sph = scene.spheres
+    scene_tbl = jnp.stack([
+        sph.pos[:, 0], sph.pos[:, 1], sph.pos[:, 2], sph.radius,
+        sph.matte[:, 0], sph.matte[:, 1], sph.matte[:, 2],
+        sph.gloss[:, 0], sph.gloss[:, 1], sph.gloss[:, 2],
+        sph.opacity, sph.ior,
+    ])
+    lights_tbl = jnp.stack([
+        scene.lights.pos[:, 0], scene.lights.pos[:, 1], scene.lights.pos[:, 2],
+        scene.lights.col[:, 0], scene.lights.col[:, 1], scene.lights.col[:, 2],
+    ])
+    bg_tbl = jnp.stack([scene.bg.matte[0], scene.bg.matte[1],
+                        scene.bg.matte[2], scene.bg.ior,
+                        scene.bg.opacity]).reshape(5, 1)
+    return scene_tbl, lights_tbl, bg_tbl
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False):
+    """Scene-parameter gradients for sum(render_pixels * g): one fused
+    backward kernel over the (tile, sample) grid."""
+    from raytpu.scene import Lights, Medium, Scene, Spheres
+
+    n_spheres = scene.spheres.pos.shape[0]
+    n_lights = scene.lights.pos.shape[0]
+    scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
+    offset_tbl = jnp.zeros((1, 1), jnp.int32)
+
+    p = cfg.num_pixels
+    tiles = -(-p // TILE_PIXELS)
+    pad = tiles * TILE_PIXELS - p
+    g_pad = jnp.pad(g, ((0, pad), (0, 0)))        # zero cotangent on tail
+    g_tbl = g_pad.T.reshape(3, tiles * TILE_ROWS, LANES)
+
+    kernel = _make_bwd_kernel(cfg, n_spheres, n_lights, p)
+    gs, gl, gb = pl.pallas_call(
+        kernel,
+        grid=(tiles, cfg.samples_per_pixel),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda t, s: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((SCENE_ROWS, n_spheres), jnp.float32),
+            jax.ShapeDtypeStruct((LIGHT_ROWS, n_lights), jnp.float32),
+            jax.ShapeDtypeStruct((5, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(scene_tbl, lights_tbl, bg_tbl, offset_tbl, g_tbl)
+
+    return Scene(
+        spheres=Spheres(
+            pos=jnp.stack([gs[_S_PX], gs[_S_PY], gs[_S_PZ]], axis=-1),
+            radius=gs[_S_RAD],
+            matte=jnp.stack([gs[_S_MR], gs[_S_MG], gs[_S_MB]], axis=-1),
+            gloss=jnp.stack([gs[_S_GR], gs[_S_GG], gs[_S_GB]], axis=-1),
+            opacity=gs[_S_OP], ior=gs[_S_IOR],
+        ),
+        lights=Lights(pos=jnp.stack([gl[0], gl[1], gl[2]], axis=-1),
+                      col=jnp.stack([gl[3], gl[4], gl[5]], axis=-1)),
+        bg=Medium(matte=gb[:3, 0], ior=gb[3, 0], opacity=gb[4, 0]),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def render_pixels_pallas_ad(scene, cfg: RenderConfig, interpret: bool = False):
+    """Differentiable fused render: forward = the Pallas forward kernel,
+    backward = the fused gradient kernel (scene cotangents only).
+
+    Requires a statically-unrollable sphere count (<= BWD_MAX_SPHERES);
+    callers with larger scenes should use the jnp tracer's autodiff."""
+    return render_pixels_pallas(scene, cfg, interpret=interpret)
+
+
+def _ad_fwd(scene, cfg, interpret):
+    return render_pixels_pallas(scene, cfg, interpret=interpret), scene
+
+
+def _ad_bwd(cfg, interpret, scene, g):
+    return (_grad_pixels_pallas(scene, cfg, g, interpret=interpret),)
+
+
+render_pixels_pallas_ad.defvjp(_ad_fwd, _ad_bwd)

@@ -6,6 +6,12 @@ construction is a pytree (raytpu.scene), "kernel launch geometry"
 blocking buffer uploads/readbacks become jax device placement, and the
 wall-clock timing around enqueue+finish (main.cpp:352-374) becomes
 block_until_ready timing with a rays/s derivation.
+
+Two compute backends share one semantics contract:
+  * "jnp"    — the XLA-fused tracer (raytpu.trace); runs anywhere, is the
+               differentiable path.
+  * "pallas" — the fused TPU kernel (raytpu.kernels); the fast forward path.
+  * "auto"   — pallas on TPU, jnp elsewhere.
 """
 
 from __future__ import annotations
@@ -23,12 +29,32 @@ from raytpu.parallel.mesh import PIXEL_AXIS, make_mesh
 from raytpu.trace import render_image, render_pixels
 
 
+def resolve_backend(backend: str = "auto") -> str:
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend not in ("jnp", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
+    return backend
+
+
+def render_single(scene, cfg: RenderConfig, backend: str = "auto"):
+    """One-device full-frame render -> (H, W, 3)."""
+    if resolve_backend(backend) == "pallas":
+        from raytpu.kernels import render_image_pallas
+        return render_image_pallas(scene, cfg)
+    return render_image(scene, cfg)
+
+
 @functools.lru_cache(maxsize=32)
-def _sharded_render_fn(cfg: RenderConfig, mesh):
+def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str):
     """Compile one sharded render: pixel ids block-sharded over the mesh's
     pixel axis, scene replicated, zero collectives (pixels independent)."""
 
     def body(scene, gid):
+        if backend == "pallas":
+            from raytpu.kernels import render_pixels_pallas
+            return render_pixels_pallas(scene, cfg, offset=gid[0],
+                                        count=gid.shape[0])
         return render_pixels(scene, cfg, gid)
 
     fn = shard_map(body, mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)),
@@ -36,7 +62,7 @@ def _sharded_render_fn(cfg: RenderConfig, mesh):
     return jax.jit(fn)
 
 
-def render_sharded(scene, cfg: RenderConfig, mesh=None):
+def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto"):
     """Render the frame with the pixel grid sharded across all devices.
 
     Pads the pixel count up to a multiple of the mesh size by re-rendering
@@ -44,28 +70,40 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None):
     """
     if mesh is None:
         mesh = make_mesh()
+    backend = resolve_backend(backend)
     n = int(mesh.devices.size)
     p = cfg.num_pixels
     per = -(-p // n)
     gid = jnp.minimum(jnp.arange(per * n, dtype=jnp.int32), p - 1)
-    out = _sharded_render_fn(cfg, mesh)(scene, gid)
+    out = _sharded_render_fn(cfg, mesh, backend)(scene, gid)
     return out[:p].reshape(cfg.height, cfg.width, 3)
 
 
 def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
-                 iters: int = 3):
+                 iters: int = 3, backend: str = "auto"):
     """Render and time it (compile excluded via warmup), returning
     (image, stats).  Mrays/s counts camera rays (pixels * alias^2), the
     same accounting as the reference's per-work-item model; `traced_rays`
     additionally counts every node of the 2^depth bounce tree."""
-    fn = (lambda s: render_sharded(s, cfg, mesh)) if mesh is not None \
-        else (lambda s: render_image(s, cfg))
+    if mesh is not None:
+        fn = lambda s: render_sharded(s, cfg, mesh, backend)
+    else:
+        fn = lambda s: render_single(s, cfg, backend)
+
+    # A device->host scalar fetch is the only reliable completion barrier on
+    # every backend (block_until_ready is advisory on the remote-TPU
+    # platform); jnp.sum keeps the fetched payload at 4 bytes.
+    def run(s):
+        img = fn(s)
+        float(jnp.sum(img))
+        return img
+
     for _ in range(max(warmup, 0)):
-        img = jax.block_until_ready(fn(scene))
+        img = run(scene)
     times = []
     for _ in range(max(iters, 1)):
         t0 = time.perf_counter()
-        img = jax.block_until_ready(fn(scene))
+        img = run(scene)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     primary = cfg.rays_per_frame
@@ -76,6 +114,7 @@ def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
         traced_rays=tree,
         mrays_per_s=primary / dt / 1e6,
         traced_mrays_per_s=tree / dt / 1e6,
+        backend=resolve_backend(backend),
         times=times,
     )
     return img, stats

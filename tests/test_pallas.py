@@ -1,0 +1,94 @@
+"""Pallas kernel vs jnp tracer (interpret mode on CPU).
+
+The two paths share semantics but not float op order, so edge pixels can
+flip discrete branches (closest-hit ties, shadow boundaries, significance
+cutoffs).  The contract is allclose-with-few-outliers, same as the
+reference's own CPU/GPU relationship (SURVEY.md section 3.3); on-hardware
+agreement is checked by the bench/verify flow.
+"""
+
+import numpy as np
+import pytest
+
+from raytpu.config import RenderConfig
+from raytpu.kernels.trace_pallas import render_image_pallas
+from raytpu.scene import default_scene, random_scene, single_sphere_scene
+from raytpu.trace import render_image
+
+
+def _compare(scene, cfg, frac_tol=0.01):
+    k = np.asarray(render_image_pallas(scene, cfg, interpret=True))
+    j = np.asarray(render_image(scene, cfg))
+    assert np.isfinite(k).all()
+    scale = max(float(np.abs(j).max()), 1e-12)
+    d = np.abs(k - j)
+    outliers = (d.max(axis=-1) > 1e-2 * scale).mean()
+    assert outliers <= frac_tol, f"outlier fraction {outliers}"
+    assert d.mean() < 1e-3 * scale, f"mean abs diff {d.mean()} vs scale {scale}"
+
+
+def test_single_sphere_depth0_exact():
+    cfg = RenderConfig(width=64, height=32, max_depth=0, alias_factor=1)
+    _compare(single_sphere_scene(), cfg, frac_tol=0.0)
+
+
+def test_default_scene_depths():
+    for depth in (0, 1, 3):
+        cfg = RenderConfig(width=64, height=32, max_depth=depth,
+                           alias_factor=1)
+        _compare(default_scene(), cfg)
+
+
+def test_default_scene_supersampled():
+    cfg = RenderConfig(width=64, height=32, max_depth=2, alias_factor=3)
+    _compare(default_scene(), cfg)
+
+
+def test_nonaligned_pixel_count():
+    # 50x17 = 850 pixels: less than one 1024-pixel tile, exercises padding.
+    cfg = RenderConfig(width=50, height=17, max_depth=1, alias_factor=1)
+    _compare(default_scene(), cfg)
+
+
+def test_many_spheres():
+    cfg = RenderConfig(width=64, height=16, max_depth=1, alias_factor=1)
+    _compare(random_scene(32, seed=3), cfg)
+
+
+def test_bg_opacity_flows_through():
+    cfg = RenderConfig(width=32, height=16, max_depth=2, alias_factor=1)
+    a = np.asarray(render_image_pallas(default_scene(0.0), cfg, interpret=True))
+    b = np.asarray(render_image_pallas(default_scene(1.0), cfg, interpret=True))
+    assert np.abs(a - b).max() > 0  # the UB knob must change glossy pixels
+
+
+def test_backward_kernel_matches_jnp_autodiff():
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.grad import loss_and_grad
+    from raytpu.kernels.trace_pallas import render_pixels_pallas_ad
+    from raytpu.trace import render_pixels
+
+    cfg = RenderConfig(width=32, height=32, max_depth=2, alias_factor=1)
+    scene = default_scene()
+    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    target = render_pixels(scene, cfg, gid) * 1.5
+
+    def loss_pallas(s):
+        e = render_pixels_pallas_ad(s, cfg, True) - target
+        return jnp.mean(e * e)
+
+    l_k, g_k = jax.value_and_grad(loss_pallas)(scene)
+    l_j, g_j = loss_and_grad(scene, cfg, target)
+    np.testing.assert_allclose(float(l_k), float(l_j), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_j)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-12)
+        # agree where the jnp gradient is significant; near-zero coords may
+        # differ by branch-flip noise
+        mask = np.abs(b) > 1e-3 * scale
+        if mask.any():
+            np.testing.assert_allclose(a[mask], b[mask], rtol=5e-2,
+                                       atol=1e-12)
