@@ -290,7 +290,7 @@ def _calculate_reflection(point, normal, d):
     with np.errstate(invalid="ignore", divide="ignore"):
         inv = F(1.0) / np.sqrt(_dot(rd[:, 0], rd[:, 1], rd[:, 2],
                                     rd[:, 0], rd[:, 1], rd[:, 2]))
-    rd = inv[:, None] * rd
+        rd = inv[:, None] * rd
     origin = point + K_SMALL_SHIFT[()] * rd
     return origin, rd
 

@@ -1,0 +1,73 @@
+"""Native C++ oracle vs the numpy oracle and the golden PPM.
+
+The two strict oracles are independent implementations of the same
+semantics (C++ scalar recursion vs vectorized numpy) and must agree
+bit-for-bit — same op order, same float32 width, no fast-math.
+"""
+
+import numpy as np
+import pytest
+
+from raytpu.config import RenderConfig
+from raytpu.image import read_ppm
+from raytpu.native import render_native
+from raytpu.oracle import render_oracle
+from raytpu.scene import default_scene, random_scene
+
+
+def test_native_bitexact_vs_numpy_oracle():
+    scene = default_scene(bg_opacity=0.0)
+    cfg = RenderConfig(width=96, height=72)
+    nat = render_native(scene, cfg, cap=5, fresnel_double=False)
+    pyo = render_oracle(scene, cfg, cap=5, fresnel_double=False)
+    assert (np.isnan(nat) == np.isnan(pyo)).all()
+    mask = ~np.isnan(nat)
+    np.testing.assert_array_equal(nat[mask], pyo[mask])
+
+
+def test_native_bitexact_cpu_config():
+    scene = default_scene(bg_opacity=0.0)
+    cfg = RenderConfig(width=64, height=48)
+    nat = render_native(scene, cfg, cap=6, fresnel_double=True)
+    pyo = render_oracle(scene, cfg, cap=6, fresnel_double=True)
+    assert (np.isnan(nat) == np.isnan(pyo)).all()
+    mask = ~np.isnan(nat)
+    np.testing.assert_array_equal(nat[mask], pyo[mask])
+
+
+def test_native_random_scene():
+    scene = random_scene(24, seed=7)
+    cfg = RenderConfig(width=48, height=32, alias_factor=2)
+    nat = render_native(scene, cfg)
+    pyo = render_oracle(scene, cfg, cap=5, fresnel_double=False)
+    mask = ~np.isnan(pyo)
+    np.testing.assert_array_equal(nat[mask], pyo[mask])
+
+
+def test_native_offset_count():
+    scene = default_scene()
+    cfg = RenderConfig(width=32, height=16, alias_factor=1)
+    full = render_native(scene, cfg).reshape(-1, 3)
+    part = render_native(scene, cfg, offset=100, count=64)
+    np.testing.assert_array_equal(part, full[100:164])
+
+
+def test_native_matches_golden_rows():
+    # The fast path to golden confidence: whole rows against testPPM.ppm
+    # (same thresholds as tests/test_golden.py, same max-bearing rows).
+    golden = read_ppm("/root/reference/raytracer_gamma/testPPM.ppm")
+    cfg = RenderConfig()
+    scene = default_scene(bg_opacity=0.0)
+    rows = sorted(set(np.linspace(0, 599, 12).astype(int).tolist())
+                  | {242, 243, 244, 245, 246})
+    parts = [render_native(scene, cfg, offset=r * cfg.width, count=cfg.width)
+             for r in rows]
+    img = np.stack(parts).reshape(len(rows), cfg.width, 3)
+    finite = img[~np.isnan(img)]
+    maxv = max(float(finite.max()), 0.0) or 1.0
+    clamped = np.where(np.isnan(img), 1.0, np.minimum(img, 1.0))
+    ours = (clamped * 255.0 / maxv).astype(np.int64) & 0xFF
+    ref = golden[rows].astype(np.int64)
+    err = np.abs(ours - ref)
+    assert (err.max(axis=-1) == 0).mean() > 0.95
+    assert err.mean() < 0.2
