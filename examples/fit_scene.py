@@ -23,7 +23,12 @@ def main():
     ap.add_argument("--height", type=int, default=60)
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--steps", type=int, default=60)
-    ap.add_argument("--lr", type=float, default=5e-2)
+    ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument("--mode", choices=["colours", "geometry"],
+                    default="colours",
+                    help="colours: perturb/fit matte + light colours (smooth "
+                         "gradients, converges to ~0); geometry: also "
+                         "positions/radii (silhouette sub-gradients, partial)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--checkpoint", default=None,
                     help="path to save/restore fit state every 10 steps")
@@ -43,22 +48,38 @@ def main():
     gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
     target = render_pixels(truth, cfg, gid)
 
-    # Perturb sphere positions/radii and matte colours, then fit them back.
+    # Perturb parameters, then fit them back.
     key = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     sph = truth.spheres
     sph = dataclasses.replace(
         sph,
-        pos=sph.pos + 0.3 * jax.random.normal(k1, sph.pos.shape),
-        radius=sph.radius * (1 + 0.1 * jax.random.normal(k2, sph.radius.shape)),
-        matte=jnp.clip(sph.matte + 0.1 * jax.random.normal(k3, sph.matte.shape),
-                       0.0, 1.0),
-    )
-    scene = dataclasses.replace(truth, spheres=sph)
+        matte=jnp.clip(sph.matte + 0.15 * jax.random.normal(k3, sph.matte.shape),
+                       0.0, 1.0))
+    lights = dataclasses.replace(
+        truth.lights,
+        col=jnp.clip(truth.lights.col
+                     + 0.2 * jax.random.normal(k4, truth.lights.col.shape),
+                     0.05, 2.0))
+    if args.mode == "geometry":
+        sph = dataclasses.replace(
+            sph,
+            pos=sph.pos + 0.3 * jax.random.normal(k1, sph.pos.shape),
+            radius=sph.radius * (1 + 0.1 * jax.random.normal(k2, sph.radius.shape)))
+    scene = dataclasses.replace(truth, spheres=sph, lights=lights)
 
     if args.checkpoint and os.path.exists(args.checkpoint):
         scene = load_checkpoint(args.checkpoint, scene)
         print(f"restored {args.checkpoint}")
+
+    # Only fit what was perturbed.
+    trainable = jax.tree_util.tree_map(lambda _: False, truth)
+    trainable = dataclasses.replace(
+        trainable,
+        spheres=dataclasses.replace(trainable.spheres, matte=True,
+                                    pos=args.mode == "geometry",
+                                    radius=args.mode == "geometry"),
+        lights=dataclasses.replace(trainable.lights, col=True))
 
     start = float(image_loss(scene, cfg, target))
 
@@ -68,8 +89,14 @@ def main():
             if args.checkpoint:
                 save_checkpoint(args.checkpoint, s)
 
+    # The linear image is ~1e-4 scale (inverse-square lights), so MSE
+    # gradients are ~1e-12 — far below adam's default eps=1e-8.  A
+    # scale-appropriate eps restores adam's scale invariance.
+    import optax
+    opt = optax.adam(args.lr, eps=1e-16)
     fitted, losses = fit_scene(scene, cfg, target, steps=args.steps,
-                               learning_rate=args.lr, callback=cb)
+                               learning_rate=args.lr, callback=cb,
+                               trainable=trainable, optimizer=opt)
     print(f"loss: {start:.3e} -> {losses[-1]:.3e} "
           f"({start / max(losses[-1], 1e-30):.1f}x reduction)")
     err = np.abs(np.asarray(fitted.spheres.pos) - np.asarray(truth.spheres.pos))

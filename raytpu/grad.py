@@ -107,9 +107,14 @@ def loss_and_grad_sharded(scene, cfg: RenderConfig, target_flat, mesh=None):
 
 def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
               learning_rate: float = 1e-2, mesh=None, optimizer=None,
-              callback=None):
-    """Gradient-fit task (BASELINE config 4): optimise every scene parameter
-    to match a target image.  Returns (scene, losses)."""
+              callback=None, trainable=None):
+    """Gradient-fit task (BASELINE config 4): optimise scene parameters to
+    match a target image.  Returns (scene, losses).
+
+    `trainable`: optional pytree with the Scene structure and a bool per
+    leaf; gradients of False leaves are zeroed (fit only what you perturb —
+    letting adam wander opacity/IOR freely destabilises the render).
+    """
     import optax
 
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
@@ -120,6 +125,9 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
             loss, grads = loss_and_grad_sharded(scene, cfg, target_flat, mesh)
         else:
             loss, grads = loss_and_grad(scene, cfg, target_flat)
+        if trainable is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, trainable)
         updates, opt_state = opt.update(grads, opt_state, scene)
         scene = optax.apply_updates(scene, updates)
         losses.append(float(loss))

@@ -431,18 +431,28 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
         gid = jnp.minimum(gid, total_pixels - 1)  # pad tail re-renders
 
         # All alias^2 supersamples in one grid step (raytrace_kernel.cl:945):
-        # fewer, fatter grid steps amortise per-step dispatch overhead.
-        acc_r = jnp.zeros((TILE_ROWS, LANES), f32)
-        acc_g = jnp.zeros((TILE_ROWS, LANES), f32)
-        acc_b = jnp.zeros((TILE_ROWS, LANES), f32)
-        for si in range(alias):
-            for sj in range(alias):
-                dx, dy, dz = _camera_dirs(cfg, gid, jnp.int32(si),
-                                          jnp.int32(sj))
-                sr, sg, sb = _trace_tree(
-                    scene_ref, lights_ref, bg, n_spheres, n_lights,
-                    cfg.max_depth, dx, dy, dz, early_exit=True)
-                acc_r, acc_g, acc_b = acc_r + sr, acc_g + sg, acc_b + sb
+        # fewer, fatter grid steps amortise per-step dispatch overhead.  The
+        # sample loop is a fori (not unrolled) to keep the Mosaic program a
+        # constant factor of the tree size — deep/many-sphere configs
+        # otherwise explode compile time.
+        def sample_body(s, acc):
+            acc_r, acc_g, acc_b = acc
+            si = s // alias
+            sj = s % alias
+            dx, dy, dz = _camera_dirs(cfg, gid, si, sj)
+            sr, sg, sb = _trace_tree(
+                scene_ref, lights_ref, bg, n_spheres, n_lights,
+                cfg.max_depth, dx, dy, dz, early_exit=True)
+            return acc_r + sr, acc_g + sg, acc_b + sb
+
+        zeros3 = (jnp.zeros((TILE_ROWS, LANES), f32),
+                  jnp.zeros((TILE_ROWS, LANES), f32),
+                  jnp.zeros((TILE_ROWS, LANES), f32))
+        if alias == 1:
+            acc_r, acc_g, acc_b = sample_body(jnp.int32(0), zeros3)
+        else:
+            acc_r, acc_g, acc_b = jax.lax.fori_loop(
+                0, alias * alias, sample_body, zeros3)
 
         weight = f32(1.0 / (alias * alias))
         out_ref[:] = jnp.stack([acc_r * weight, acc_g * weight,
