@@ -349,12 +349,14 @@ def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn):
 
 
 def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
-                dx, dy, dz, early_exit=True):
+                dx, dy, dz, early_exit=True, remat=False):
     """Run the full bounce tree for one tile's camera rays; returns the
     un-weighted (acc_r, acc_g, acc_b) pixel sums.  `early_exit` wraps each
     level >= 1 in a whole-tile liveness cond (exact: masked-off children
-    carry intensity exactly 0); the backward kernel disables it so jax.vjp
-    sees straight-line code."""
+    carry intensity exactly 0); the backward kernel disables it so its
+    reverse sweep sees straight-line code.  `remat` wraps levels in
+    jax.checkpoint for jnp-land callers only — it has no Pallas lowering;
+    the backward kernel does its own per-level rematerialization instead."""
     zero = jnp.zeros(dx.shape, f32)
     one = jnp.ones(dx.shape, f32)
     rows, lanes = dx.shape
@@ -372,7 +374,25 @@ def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
                 scene, lights, n_spheres, n_lights, bg, state, spawn=spawn)
             return (er, eg, eb), (children if spawn else ())
 
-        if level == 0 or not early_exit:
+        if remat:
+            compute = jax.checkpoint(compute)
+
+        rows_cur = state[0].shape[0]
+        if not spawn and rows_cur > 4 * TILE_ROWS * 8:
+            # The deepest level is the widest and spawns nothing: process it
+            # in sequential row chunks so its intersection/shading temps
+            # don't blow VMEM at depth 6 (512 sublanes otherwise).
+            chunk = 4 * TILE_ROWS * 8
+            parts = []
+            for c0 in range(0, rows_cur, chunk):
+                sub = tuple(s[c0:c0 + chunk] for s in state)
+                (er_c, eg_c, eb_c), _ = _trace_level(
+                    scene, lights, n_spheres, n_lights, bg, sub, spawn=False)
+                parts.append((er_c, eg_c, eb_c))
+            emissions = tuple(jnp.concatenate([p[k] for p in parts], axis=0)
+                              for k in range(3))
+            children = ()
+        elif level == 0 or not early_exit:
             emissions, children = compute()
         else:
             ir, ig, ib = state[6], state[7], state[8]
@@ -568,19 +588,60 @@ def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
 
         weight = f32(1.0 / (alias * alias))
 
-        def tree(sv_vals, lv_vals, bgv_vals):
+        # Manual per-level rematerialization (jax.checkpoint's remat2 has no
+        # Pallas lowering): the forward stores only each level's input state;
+        # the reverse sweep re-runs one level at a time under a local
+        # jax.vjp, so AD residuals never exceed one level's working set.
+        def level_fn(sv_vals, lv_vals, bgv_vals, st, spawn):
             scene = _ScalarTable(sv_vals)
             lights = _ScalarTable(lv_vals)
             bg = dict(matte_r=bgv_vals[0], matte_g=bgv_vals[1],
                       matte_b=bgv_vals[2], ior=bgv_vals[3],
                       opacity=bgv_vals[4])
-            ar, ag, ab = _trace_tree(scene, lights, bg, n_spheres, n_lights,
-                                     cfg.max_depth, dx, dy, dz,
-                                     early_exit=False)
-            return ar * weight, ag * weight, ab * weight
+            (er, eg, eb), children = _trace_level(
+                scene, lights, n_spheres, n_lights, bg, st, spawn=spawn)
+            return (er, eg, eb), (children if spawn else ())
 
-        _, vjp = jax.vjp(tree, sv, lv, bgv)
-        d_sv, d_lv, d_bgv = vjp((g_ref[0], g_ref[1], g_ref[2]))
+        zero = jnp.zeros((TILE_ROWS, LANES), f32)
+        one = jnp.ones((TILE_ROWS, LANES), f32)
+        bg_m = (bgv[0], bgv[1], bgv[2], bgv[3], bgv[4])
+        state0 = (zero, zero, zero, dx, dy, dz, one, one, one,
+                  zero + bg_m[0], zero + bg_m[1], zero + bg_m[2],
+                  zero + bg_m[3], zero + bg_m[4])
+
+        depth = cfg.max_depth
+        states = [state0]
+        for level in range(depth):
+            _, children = level_fn(sv, lv, bgv, states[level], True)
+            states.append(children)
+
+        gw = (g_ref[0] * weight, g_ref[1] * weight, g_ref[2] * weight)
+
+        def addt(a, b):
+            return jax.tree_util.tree_map(jnp.add, a, b)
+
+        d_sv = d_lv = d_bgv = None
+        cot_children = ()
+        for level in range(depth, -1, -1):
+            spawn = level < depth
+            _, vjp = jax.vjp(
+                lambda s_, l_, b_, st: level_fn(s_, l_, b_, st, spawn),
+                sv, lv, bgv, states[level])
+            blocks = 2 ** level
+            cot_em = tuple(
+                jnp.broadcast_to(g, (blocks, TILE_ROWS, LANES))
+                .reshape(blocks * TILE_ROWS, LANES) for g in gw)
+            ds, dl, db, cot_state = vjp((cot_em, cot_children))
+            d_sv = ds if d_sv is None else addt(d_sv, ds)
+            d_lv = dl if d_lv is None else addt(d_lv, dl)
+            d_bgv = db if d_bgv is None else addt(d_bgv, db)
+            cot_children = cot_state
+
+        # state0's medium fields are built from the background scalars
+        # (state0[9..13] = bg), so the final state cotangent folds into the
+        # bg gradient — the path the per-level sweep would otherwise drop.
+        d_bgv = tuple(d_bgv[k] + jnp.sum(cot_children[9 + k])
+                      for k in range(5))
 
         first = (tile == 0) & (sample == 0)
 

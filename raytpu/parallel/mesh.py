@@ -58,6 +58,20 @@ def initialize_distributed(coordinator: str | None = None,
                                process_id=process_id)
 
 
+def gather_image(img):
+    """Bring a (possibly cross-process) sharded render back to every host as
+    one numpy array — the multi-host analogue of the reference's blocking
+    readback (clEnqueueReadBuffer, main.cpp:460-461).  A no-op copy in
+    single-process runs."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(img)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(img, tiled=True))
+
+
 def describe_devices() -> str:
     """Human-readable device/topology dump (≙ output_device_info,
     device_info.cpp:30-125)."""
