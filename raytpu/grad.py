@@ -26,7 +26,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
 
 from raytpu.config import RenderConfig
@@ -78,7 +77,7 @@ def _sharded_grad_fn(cfg: RenderConfig, mesh):
     scene-parameter cotangents over the pixel axis — which XLA's scheduler
     can overlap with the backward bounce tree."""
 
-    render = shard_map(
+    render = jax.shard_map(
         lambda scene, gid: render_pixels(scene, cfg, gid),
         mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)), out_specs=P(PIXEL_AXIS))
 

@@ -237,10 +237,17 @@ def _fresnel(n1, n2, c1, c2):
     return jnp.where(den2 < _EPS_FRESNEL, f32(1.0), refl)
 
 
-def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn):
+def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn,
+                 skip_dead_shading=False):
     """One bounce level on SoA ray state; mirrors raytpu.trace._trace_level
     (see its docstring for the reference-semantics map).  `bg` is a dict of
-    background-medium scalars (traced values read from SMEM)."""
+    background-medium scalars (traced values read from SMEM).
+
+    skip_dead_shading guards the shadow-ray/matte block behind a whole-tile
+    liveness cond — background tiles (most of a typical frame) then skip the
+    lights x spheres shadow loops entirely; exact, because the block's
+    result is fully masked by `mgate` anyway.  The backward kernel leaves it
+    off to keep its per-level vjp straight-line."""
     (ox, oy, oz, dx, dy, dz, ir, ig, ib, mmr, mmg, mmb, mior, mop) = state
     hit = _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz)
     sig = (ir >= _MIN_SIG) | (ig >= _MIN_SIG) | (ib >= _MIN_SIG)
@@ -253,10 +260,20 @@ def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn):
 
     opacity = hit["op"]
     transparency = f32(1.0) - opacity
-    sr, sg, sb = _matte_sum(scene, lights, n_spheres, n_lights,
-                            hit["hx"], hit["hy"], hit["hz"],
-                            hit["nx"], hit["ny"], hit["nz"])
     mgate = live & (opacity > 0)
+
+    def shade(_):
+        return _matte_sum(scene, lights, n_spheres, n_lights,
+                          hit["hx"], hit["hy"], hit["hz"],
+                          hit["nx"], hit["ny"], hit["nz"])
+
+    if skip_dead_shading:
+        zero = jnp.zeros_like(ir)
+        sr, sg, sb = jax.lax.cond(
+            jnp.any(mgate), shade,
+            lambda _: (zero, zero, zero), operand=None)
+    else:
+        sr, sg, sb = shade(None)
     er = er + jnp.where(mgate, opacity * ir * hit["mr"] * sr, f32(0.0))
     eg = eg + jnp.where(mgate, opacity * ig * hit["mg"] * sg, f32(0.0))
     eb = eb + jnp.where(mgate, opacity * ib * hit["mb"] * sb, f32(0.0))
@@ -371,7 +388,8 @@ def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
 
         def compute(state=state, spawn=spawn):
             (er, eg, eb), children = _trace_level(
-                scene, lights, n_spheres, n_lights, bg, state, spawn=spawn)
+                scene, lights, n_spheres, n_lights, bg, state, spawn=spawn,
+                skip_dead_shading=early_exit)
             return (er, eg, eb), (children if spawn else ())
 
         if remat:
@@ -387,7 +405,8 @@ def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
             for c0 in range(0, rows_cur, chunk):
                 sub = tuple(s[c0:c0 + chunk] for s in state)
                 (er_c, eg_c, eb_c), _ = _trace_level(
-                    scene, lights, n_spheres, n_lights, bg, sub, spawn=False)
+                    scene, lights, n_spheres, n_lights, bg, sub, spawn=False,
+                    skip_dead_shading=early_exit)
                 parts.append((er_c, eg_c, eb_c))
             emissions = tuple(jnp.concatenate([p[k] for p in parts], axis=0)
                               for k in range(3))

@@ -21,7 +21,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
 
 from raytpu.config import RenderConfig
@@ -57,8 +56,11 @@ def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str):
                                         count=gid.shape[0])
         return render_pixels(scene, cfg, gid)
 
-    fn = shard_map(body, mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)),
-                   out_specs=P(PIXEL_AXIS))
+    # check_vma=False: pallas_call outputs carry no varying-axis metadata,
+    # which the default checker rejects; the jnp body is unaffected either
+    # way (equality with the single-device render is pinned by tests).
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)),
+                   out_specs=P(PIXEL_AXIS), check_vma=(backend != "pallas"))
     return jax.jit(fn)
 
 
