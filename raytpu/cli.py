@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-pixels", type=int, default=8192)
     p.add_argument("--scene", choices=["default", "single", "random"],
                    default="default")
+    p.add_argument("--scene-file", default=None,
+                   help="load the scene from a JSON file (raytpu.scene_io); "
+                        "overrides --scene")
+    p.add_argument("--save-scene", default=None,
+                   help="write the active scene as JSON and continue")
     p.add_argument("--num-spheres", type=int, default=64,
                    help="sphere count for --scene random")
     p.add_argument("--seed", type=int, default=0)
@@ -55,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def make_scene(args):
     from raytpu import scene as S
+    if args.scene_file:
+        from raytpu.scene_io import load_scene
+        return load_scene(args.scene_file)
     if args.scene == "default":
         return S.default_scene(bg_opacity=args.bg_opacity)
     if args.scene == "single":
@@ -78,6 +86,10 @@ def main(argv=None) -> int:
                        alias_factor=args.alias_factor, max_depth=args.max_depth,
                        chunk_pixels=args.chunk_pixels)
     scene = make_scene(args)
+    if args.save_scene:
+        from raytpu.scene_io import save_scene
+        save_scene(scene, args.save_scene)
+        print(f"wrote {args.save_scene}")
 
     if args.oracle:
         from raytpu.oracle import render_oracle

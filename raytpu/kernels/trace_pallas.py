@@ -137,7 +137,7 @@ def _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz):
                               scene[_S_RAD, i])
         better = ok & (t < min_t)
         sel = lambda new, old: jnp.where(better, new, old)
-        return (sel(t, min_t), jnp.maximum(found, sel(f32(1.0), found)),
+        return (sel(t, min_t), sel(f32(1.0), found),
                 sel(sx, cx), sel(sy, cy), sel(sz, cz),
                 sel(scene[_S_MR, i], mr), sel(scene[_S_MG, i], mg),
                 sel(scene[_S_MB, i], mb),
@@ -387,9 +387,11 @@ def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
         spawn = level < max_depth
 
         def compute(state=state, spawn=spawn):
+            # skip_dead_shading stays off: the nested liveness cond around
+            # the shadow loops blew Mosaic compile times by >10x when tried;
+            # the whole-level early exit below already skips dead tiles.
             (er, eg, eb), children = _trace_level(
-                scene, lights, n_spheres, n_lights, bg, state, spawn=spawn,
-                skip_dead_shading=early_exit)
+                scene, lights, n_spheres, n_lights, bg, state, spawn=spawn)
             return (er, eg, eb), (children if spawn else ())
 
         if remat:
@@ -405,8 +407,7 @@ def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
             for c0 in range(0, rows_cur, chunk):
                 sub = tuple(s[c0:c0 + chunk] for s in state)
                 (er_c, eg_c, eb_c), _ = _trace_level(
-                    scene, lights, n_spheres, n_lights, bg, sub, spawn=False,
-                    skip_dead_shading=early_exit)
+                    scene, lights, n_spheres, n_lights, bg, sub, spawn=False)
                 parts.append((er_c, eg_c, eb_c))
             emissions = tuple(jnp.concatenate([p[k] for p in parts], axis=0)
                               for k in range(3))
