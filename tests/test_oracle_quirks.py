@@ -84,9 +84,11 @@ def test_tir_produces_nan_in_oracle_but_not_clean():
                         [((0.0, 20.0, 5.0), (1.0, 1.0, 1.0))],
                         bg_opacity=0.0)
     sc = O.OracleScene(scene, 0.0)
-    o = np.zeros((1, 3), F)
     s60, c60 = np.sin(np.deg2rad(60)), np.cos(np.deg2rad(60))
-    d = np.asarray([[s60, 0.0, c60]], F)  # exits at (~) 60 deg to the normal
+    d = np.asarray([[s60, 0.0, c60]], F)
+    # Aim at surface point (0,0,1) so the exit incidence is 60 deg (a ray
+    # from the centre would exit radially with zero incidence).
+    o = (np.asarray([[0.0, 0.0, 1.0]], F) - F(0.5) * d)
     out = O._trace(o, d, np.ones((1, 3), F),
                    np.broadcast_to(sc.matte[0], (1, 3)).copy(),
                    np.full(1, F(2.4)), np.full(1, F(0.2)),
@@ -96,7 +98,7 @@ def test_tir_produces_nan_in_oracle_but_not_clean():
     # The clean tracer's refract() instead reports full reflection, NaN-free
     # (also covered by tests/test_shading.py's TIR test).
     from raytpu.ops.shading import refract
-    point = jnp.asarray([[s60, 0.0, c60]], jnp.float32)
+    point = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
     normal = point  # unit sphere: outward normal == surface point
     _, rdir, factor, _ = refract(point, normal, jnp.asarray(d),
                                  jnp.full(1, 2.4), scene.spheres, scene.bg)
