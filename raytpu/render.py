@@ -40,7 +40,11 @@ def render_single(scene, cfg: RenderConfig, backend: str = "auto"):
     """One-device full-frame render -> (H, W, 3)."""
     if resolve_backend(backend) == "pallas":
         from raytpu.kernels import render_image_pallas
-        return render_image_pallas(scene, cfg)
+
+        # Off-TPU an explicitly requested pallas backend runs the kernel
+        # interpreter (the sanitizer mode) rather than failing to lower.
+        interpret = jax.default_backend() != "tpu"
+        return render_image_pallas(scene, cfg, interpret=interpret)
     return render_image(scene, cfg)
 
 
