@@ -71,3 +71,31 @@ def test_chunking_invariance():
     a = np.asarray(render_image(scene, base))
     b = np.asarray(render_image(scene, small))
     np.testing.assert_array_equal(a, b)
+
+
+def test_opaque_scene_strict_equals_clean():
+    # With every sphere opaque there is no recursion at all (transparency
+    # gates both children, raytracer.h:494-536), so the strict stack-machine
+    # semantics and the clean bounce loop coincide exactly; only float op
+    # order separates the implementations.
+    from raytpu.scene import build_scene, make_material
+    rng = np.random.default_rng(11)
+    specs = []
+    for _ in range(6):
+        pos = rng.uniform(-8, 8, 3)
+        pos[2] = -rng.uniform(5, 15)
+        mat = make_material(0.0, rng.uniform(0.1, 1.0, 3), (0, 0, 0),
+                            opacity=1.0, ior=1.5)
+        specs.append((pos, rng.uniform(0.5, 2.5), mat))
+    lights = [(rng.uniform(-30, 30, 3), rng.uniform(0.2, 0.8, 3))
+              for _ in range(3)]
+    scene = build_scene(specs, lights)
+    cfg = RenderConfig(width=64, height=48, max_depth=3, alias_factor=1)
+    clean = np.asarray(render_image(scene, cfg))
+    strict = render_oracle(scene, cfg, cap=5)
+    # Different f32 op order can flip discrete shadow/hit decisions on a few
+    # boundary pixels; everything else must agree tightly.
+    close = np.isclose(clean, strict, rtol=1e-4, atol=1e-9)
+    assert close.mean() > 0.995, f"agreement {close.mean()}"
+    scale = np.abs(strict).max()
+    assert np.abs(clean - strict).max() < 0.05 * scale
