@@ -640,18 +640,48 @@ def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
         def addt(a, b):
             return jax.tree_util.tree_map(jnp.add, a, b)
 
+        # Wide levels are vjp'd in sequential row chunks: the level function
+        # is row-elementwise, parent rows [c0, c0+CH) map to child rows
+        # [c0, c0+CH) (refraction half) and [rows+c0, rows+c0+CH)
+        # (reflection half) of the concatenated children, and scene
+        # cotangents just sum over chunks.  This bounds the reverse sweep's
+        # peak shapes to CHUNK rows.
+        CHUNK = 16 * TILE_ROWS
+
         d_sv = d_lv = d_bgv = None
         cot_children = ()
         for level in range(depth, -1, -1):
             spawn = level < depth
-            _, vjp = jax.vjp(
-                lambda s_, l_, b_, st: level_fn(s_, l_, b_, st, spawn),
-                sv, lv, bgv, states[level])
-            blocks = 2 ** level
-            cot_em = tuple(
-                jnp.broadcast_to(g, (blocks, TILE_ROWS, LANES))
-                .reshape(blocks * TILE_ROWS, LANES) for g in gw)
-            ds, dl, db, cot_state = vjp((cot_em, cot_children))
+            rows_l = TILE_ROWS * 2 ** level
+            fn = lambda s_, l_, b_, st: level_fn(s_, l_, b_, st, spawn)
+            cot_em1 = tuple(
+                jnp.broadcast_to(g, (CHUNK // TILE_ROWS, TILE_ROWS, LANES))
+                .reshape(CHUNK, LANES) for g in gw) if rows_l > CHUNK else \
+                tuple(jnp.broadcast_to(g, (2 ** level, TILE_ROWS, LANES))
+                      .reshape(rows_l, LANES) for g in gw)
+
+            if rows_l <= CHUNK:
+                _, vjp = jax.vjp(fn, sv, lv, bgv, states[level])
+                ds, dl, db, cot_state = vjp((cot_em1, cot_children))
+            else:
+                cot_state_parts = []
+                ds = dl = db = None
+                for c0 in range(0, rows_l, CHUNK):
+                    st_c = tuple(s[c0:c0 + CHUNK] for s in states[level])
+                    cc_c = tuple(
+                        jnp.concatenate([cc[c0:c0 + CHUNK],
+                                         cc[rows_l + c0:rows_l + c0 + CHUNK]],
+                                        axis=0)
+                        for cc in cot_children) if spawn else ()
+                    _, vjp = jax.vjp(fn, sv, lv, bgv, st_c)
+                    ds_c, dl_c, db_c, cot_c = vjp((cot_em1, cc_c))
+                    ds = ds_c if ds is None else addt(ds, ds_c)
+                    dl = dl_c if dl is None else addt(dl, dl_c)
+                    db = db_c if db is None else addt(db, db_c)
+                    cot_state_parts.append(cot_c)
+                cot_state = tuple(
+                    jnp.concatenate([p[k] for p in cot_state_parts], axis=0)
+                    for k in range(len(cot_state_parts[0])))
             d_sv = ds if d_sv is None else addt(d_sv, ds)
             d_lv = dl if d_lv is None else addt(d_lv, dl)
             d_bgv = db if d_bgv is None else addt(d_bgv, db)
