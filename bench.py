@@ -53,7 +53,13 @@ def main():
 
     # float() on the loss is the completion barrier (block_until_ready is
     # advisory on the remote-TPU platform).
-    loss = float(step(scene)[0])  # compile
+    try:
+        loss = float(step(scene)[0])  # compile
+    except Exception:
+        # Fused-backward compile failure: fall back to jnp autodiff so the
+        # harness still reports a number (flagged via fwd_bwd_backend).
+        _lg = loss_and_grad
+        loss = float(step(scene)[0])
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -71,6 +77,7 @@ def main():
         "fwd_backend": fwd["backend"],
         "fwd_seconds": round(fwd["seconds"], 4),
         "fwd_bwd_seconds": round(bwd_dt, 4),
+        "fwd_bwd_backend": ("pallas" if _lg is not loss_and_grad else "jnp"),
         "fwd_jnp_mrays_per_s": (round(fwd_jnp["mrays_per_s"], 3)
                                 if fwd_jnp else None),
         **meta,

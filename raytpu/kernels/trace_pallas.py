@@ -745,6 +745,12 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False):
     from raytpu.scene import Lights, Medium, Scene, Spheres
 
     n_spheres = scene.spheres.pos.shape[0]
+    if n_spheres > BWD_MAX_SPHERES:
+        raise ValueError(
+            f"the fused backward kernel statically unrolls its sphere loops "
+            f"and supports at most {BWD_MAX_SPHERES} spheres (got "
+            f"{n_spheres}); use raytpu.grad.loss_and_grad (jnp autodiff) "
+            f"for larger scenes")
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
     offset_tbl = jnp.zeros((1, 1), jnp.int32)
