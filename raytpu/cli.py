@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute path: fused Pallas TPU kernel or the "
                         "XLA-fused jnp tracer (auto: pallas on TPU)")
     p.add_argument("--list-devices", action="store_true")
+    p.add_argument("--device", type=int, default=None,
+                   help="render on a single specific device index "
+                        "(the reference's unused --device picker, "
+                        "device_picker.h:70-119)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (overrides any platform "
                         "auto-registration)")
@@ -90,6 +94,15 @@ def main(argv=None) -> int:
         from raytpu.scene_io import save_scene
         save_scene(scene, args.save_scene)
         print(f"wrote {args.save_scene}")
+
+    if args.device is not None:
+        import jax
+        devices = jax.devices()
+        if not 0 <= args.device < len(devices):
+            print(f"error: device {args.device} not in [0, {len(devices)})",
+                  file=sys.stderr)
+            return 2
+        scene = jax.device_put(scene, devices[args.device])
 
     if args.oracle:
         from raytpu.oracle import render_oracle
