@@ -543,6 +543,10 @@ def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
     out = pl.pallas_call(
         kernel,
         grid=(tiles,),
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's default 16M scoped-vmem budget is conservative; deep
+            # trees (depth 6) need more for the widest level's temporaries.
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -646,7 +650,8 @@ def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
         # (reflection half) of the concatenated children, and scene
         # cotangents just sum over chunks.  This bounds the reverse sweep's
         # peak shapes to CHUNK rows.
-        CHUNK = 16 * TILE_ROWS
+        CHUNK = 8 * TILE_ROWS  # 64 rows: caps each vjp's AD-residual set
+                               # (the dominant scoped-VMEM consumer)
 
         d_sv = d_lv = d_bgv = None
         cot_children = ()
@@ -765,6 +770,11 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False):
     gs, gl, gb = pl.pallas_call(
         kernel,
         grid=(tiles, cfg.samples_per_pixel),
+        compiler_params=pltpu.CompilerParams(
+            # The reverse sweep's per-level AD residuals exceed Mosaic's
+            # default 16M scoped-vmem budget at depth >= 5; v5e has 128M
+            # physical VMEM, so raise the ceiling for this kernel.
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
