@@ -68,6 +68,22 @@ def main():
     bwd_dt = min(times)
     fwd_bwd_mrays = cfg.rays_per_frame / bwd_dt / 1e6
 
+    # The reference's own workload (800x600 depth-5) end to end, as an
+    # auxiliary figure; skipped silently if its compile fails.
+    golden_ms = None
+    try:
+        gcfg = RenderConfig(width=800, height=600, max_depth=5, alias_factor=3)
+        gtarget = jnp.zeros((gcfg.num_pixels, 3), jnp.float32)
+        float(_lg(scene, gcfg, gtarget)[0])
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(_lg(scene, gcfg, gtarget)[0])
+            times.append(time.perf_counter() - t0)
+        golden_ms = round(min(times) * 1e3, 1)
+    except Exception:
+        pass
+
     result = {
         "metric": "Mrays/s/chip fwd+bwd 640x480 depth-4",
         "value": round(fwd_bwd_mrays, 3),
@@ -80,6 +96,7 @@ def main():
         "fwd_bwd_backend": ("pallas" if _lg is not loss_and_grad else "jnp"),
         "fwd_jnp_mrays_per_s": (round(fwd_jnp["mrays_per_s"], 3)
                                 if fwd_jnp else None),
+        "golden_800x600_d5_fwd_bwd_ms": golden_ms,
         **meta,
     }
     print(json.dumps(result))
