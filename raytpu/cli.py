@@ -63,15 +63,25 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_scene(args):
+    import dataclasses
+
+    import jax.numpy as jnp
+
     from raytpu import scene as S
     if args.scene_file:
         from raytpu.scene_io import load_scene
         return load_scene(args.scene_file)
-    if args.scene == "default":
-        return S.default_scene(bg_opacity=args.bg_opacity)
     if args.scene == "single":
-        return S.single_sphere_scene()
-    return S.random_scene(args.num_spheres, seed=args.seed)
+        built = S.single_sphere_scene()
+    elif args.scene == "random":
+        built = S.random_scene(args.num_spheres, seed=args.seed)
+    else:
+        built = S.default_scene()
+    # --bg-opacity applies to every generated scene (it is the reference-UB
+    # knob; scene files carry their own value).
+    bg = dataclasses.replace(built.bg,
+                             opacity=jnp.float32(args.bg_opacity))
+    return dataclasses.replace(built, bg=bg)
 
 
 def main(argv=None) -> int:

@@ -37,13 +37,16 @@ def image_loss(scene, cfg: RenderConfig, target_flat, gid=None):
     """Mean-squared error between the rendered pixels and a target.
 
     target_flat: (P, 3) linear-colour target (same tone-map-free space the
-    tracer produces).  With `gid`, only that pixel block is rendered and the
-    mean is over the block — the per-shard body of the distributed step.
+    tracer produces).  With `gid`, only that pixel block is rendered and
+    compared against target_flat[gid], with the mean over the block.
     """
     if gid is None:
         gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+        target = target_flat
+    else:
+        target = target_flat[gid]
     pred = render_pixels(scene, cfg, gid)
-    err = pred - target_flat
+    err = pred - target
     return jnp.mean(err * err)
 
 

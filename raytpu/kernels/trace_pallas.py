@@ -514,24 +514,9 @@ def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
     `offset` is a traced scalar so a shard_map body can render its own pixel
     shard (count = pixels per device, offset = shard base).
     """
-    sph = scene.spheres
-    n_spheres = sph.pos.shape[0]
+    n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
-
-    scene_tbl = jnp.stack([
-        sph.pos[:, 0], sph.pos[:, 1], sph.pos[:, 2], sph.radius,
-        sph.matte[:, 0], sph.matte[:, 1], sph.matte[:, 2],
-        sph.gloss[:, 0], sph.gloss[:, 1], sph.gloss[:, 2],
-        sph.opacity, sph.ior,
-    ])  # (SCENE_ROWS, N)
-    lights_tbl = jnp.stack([
-        scene.lights.pos[:, 0], scene.lights.pos[:, 1], scene.lights.pos[:, 2],
-        scene.lights.col[:, 0], scene.lights.col[:, 1], scene.lights.col[:, 2],
-    ])  # (LIGHT_ROWS, L)
-
-    bg_tbl = jnp.stack([scene.bg.matte[0], scene.bg.matte[1],
-                        scene.bg.matte[2], scene.bg.ior,
-                        scene.bg.opacity]).reshape(5, 1)
+    scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
     offset_tbl = jnp.asarray(offset, jnp.int32).reshape(1, 1)
 
     p = cfg.num_pixels

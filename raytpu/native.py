@@ -34,8 +34,12 @@ def build_library(force: bool = False) -> str:
                    "-o", _LIB, _SRC]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, text=True)
-            except subprocess.CalledProcessError:
-                cmd.remove("-fopenmp")  # toolchains without libgomp
+            except subprocess.CalledProcessError as e:
+                err = (e.stderr or "").lower()
+                if "openmp" not in err and "gomp" not in err:
+                    raise RuntimeError(
+                        f"g++ failed building {_SRC}:\n{e.stderr}") from e
+                cmd.remove("-fopenmp")  # toolchain without libgomp
                 subprocess.run(cmd, check=True, capture_output=True, text=True)
     return _LIB
 

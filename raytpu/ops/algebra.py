@@ -38,9 +38,6 @@ def safe_sqrt(x):
                      jnp.float32(0.0))
 
 
-_safe_sqrt = safe_sqrt
-
-
 def solve_quadratic(a, b, c):
     """Solve a*x^2 + b*x + c = 0 with the reference's exact branch structure
     (algebra.h:22-65), vectorized over any batch shape.
@@ -78,7 +75,7 @@ def solve_quadratic(a, b, c):
     # Double root: -b / 2a (algebra.h:44-51)
     dbl_root = _safe_div(-b, jnp.float32(2.0) * a)
 
-    root = _safe_sqrt(radicand)
+    root = safe_sqrt(radicand)
     denom = jnp.float32(2.0) * a
     r0 = _safe_div(-b + root, denom)
     r1 = _safe_div(-b - root, denom)
@@ -96,7 +93,9 @@ def solve_quadratic(a, b, c):
 
 
 def max_colour_value(img):
-    """Global max over all channels, 0 -> 1 guard (algebra.h:68-91).
+    """Global max over all channels, 0 -> 1 guard (algebra.h:68-91) — the
+    on-device (jnp) form; raytpu.image has the host/numpy twin used by the
+    PPM pipeline.  Keep their NaN/guard semantics in lockstep.
 
     NaN channels are skipped exactly as the C scan does (`x > max` is false
     for NaN).

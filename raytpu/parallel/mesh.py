@@ -16,7 +16,7 @@ by a GPU-type scan (main.cpp:206-211) and a capability printout
 
 Forward rendering needs zero collectives (pixels are independent); training
 all-reduces scene-parameter gradients with one psum over the pixel axis
-(see raytpu.grad / raytpu.render.train_step_sharded).
+(see raytpu.grad.loss_and_grad_sharded / fit_scene).
 """
 
 from __future__ import annotations

@@ -53,11 +53,13 @@ def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str):
     """Compile one sharded render: pixel ids block-sharded over the mesh's
     pixel axis, scene replicated, zero collectives (pixels independent)."""
 
+    interpret = jax.default_backend() != "tpu"  # pallas sanitizer off-TPU
+
     def body(scene, gid):
         if backend == "pallas":
             from raytpu.kernels import render_pixels_pallas
-            return render_pixels_pallas(scene, cfg, offset=gid[0],
-                                        count=gid.shape[0])
+            return render_pixels_pallas(scene, cfg, interpret=interpret,
+                                        offset=gid[0], count=gid.shape[0])
         return render_pixels(scene, cfg, gid)
 
     # check_vma=False: pallas_call outputs carry no varying-axis metadata,

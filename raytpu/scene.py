@@ -103,7 +103,7 @@ def make_material(gloss_factor, matte_col, gloss_col, opacity, ior):
 
 
 def build_scene(sphere_specs, light_specs, bg_matte=(0.0, 0.0, 0.0),
-                bg_ior=1.0, bg_opacity=1.0) -> Scene:
+                bg_ior=1.0, bg_opacity=0.0) -> Scene:
     """Assemble a Scene pytree from per-object specs.
 
     sphere_specs: iterable of (pos(3,), radius, material-dict from make_material)

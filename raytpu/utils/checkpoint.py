@@ -31,10 +31,11 @@ def load_checkpoint(path: str, like):
     """Restore a pytree saved by save_checkpoint, shaped `like`."""
     leaves, treedef = jax.tree_util.tree_flatten(like)
     with np.load(path) as data:
+        if len(data.files) != len(leaves):
+            raise ValueError(
+                f"checkpoint has {len(data.files)} leaves, expected "
+                f"{len(leaves)}")
         restored = [data[f"leaf_{i}"] for i in range(len(leaves))]
-    if len(restored) != len(leaves):
-        raise ValueError(
-            f"checkpoint has {len(restored)} leaves, expected {len(leaves)}")
     import jax.numpy as jnp
 
     out = [jnp.asarray(r, np.asarray(l).dtype)
