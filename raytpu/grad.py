@@ -109,15 +109,28 @@ def loss_and_grad_sharded(scene, cfg: RenderConfig, target_flat, mesh=None):
 
 def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
               learning_rate: float = 1e-2, mesh=None, optimizer=None,
-              callback=None, trainable=None):
+              callback=None, trainable=None, backend: str = "auto"):
     """Gradient-fit task (BASELINE config 4): optimise scene parameters to
     match a target image.  Returns (scene, losses).
 
     `trainable`: optional pytree with the Scene structure and a bool per
     leaf; gradients of False leaves are zeroed (fit only what you perturb —
     letting adam wander opacity/IOR freely destabilises the render).
+    `backend`: "auto" uses the fused Pallas forward+backward kernels on TPU
+    (single-device, sphere count within the kernels' unroll cap), the jnp
+    autodiff path otherwise.
     """
     import optax
+
+    from raytpu.kernels.trace_pallas import BWD_MAX_SPHERES
+
+    use_pallas = (mesh is None
+                  and backend in ("auto", "pallas")
+                  and jax.default_backend() == "tpu"
+                  and scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES)
+    if backend == "pallas" and not use_pallas:
+        raise ValueError("pallas fitting needs a TPU, no mesh, and a sphere "
+                         "count within BWD_MAX_SPHERES")
 
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     opt_state = opt.init(scene)
@@ -125,6 +138,8 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
     for step in range(steps):
         if mesh is not None:
             loss, grads = loss_and_grad_sharded(scene, cfg, target_flat, mesh)
+        elif use_pallas:
+            loss, grads = loss_and_grad_pallas(scene, cfg, target_flat)
         else:
             loss, grads = loss_and_grad(scene, cfg, target_flat)
         if trainable is not None:
