@@ -88,3 +88,17 @@ def test_native_full_frame_golden():
     assert (per_pix == 0).mean() > 0.97      # 97.9% measured
     assert err.mean() < 0.05                  # 0.028 measured
     assert (per_pix > 5).mean() < 0.005       # GPU-compiler float noise tail
+
+
+def test_native_bitexact_seed_sweep():
+    # Broad agreement sweep: many random scenes, both stack capacities.
+    for seed in (0, 1, 2, 5, 9):
+        scene = random_scene(8 + seed, num_lights=1 + seed % 3, seed=seed)
+        cfg = RenderConfig(width=32, height=16, alias_factor=1)
+        for cap in (5, 6):
+            nat = render_native(scene, cfg, cap=cap, fresnel_double=False)
+            pyo = render_oracle(scene, cfg, cap=cap, fresnel_double=False)
+            assert (np.isnan(nat) == np.isnan(pyo)).all(), (seed, cap)
+            mask = ~np.isnan(nat)
+            np.testing.assert_array_equal(nat[mask], pyo[mask],
+                                          err_msg=f"seed={seed} cap={cap}")
