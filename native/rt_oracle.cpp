@@ -300,16 +300,20 @@ extern "C" {
 
 // Render `count` pixels starting at flat id `offset` of a width x height
 // frame with the reference camera model (raytrace_kernel.cl:908-952).
+// world_w/world_h are the image-plane world dimensions (the reference
+// hard-codes 16x12 in-kernel, raytrace_kernel.cl:910-911; configurable here
+// to match RenderConfig.image_world_width/height).
 void rt_render(const float* spheres, int n_spheres, const float* lights,
                int n_lights, const float* bg, int width, int height,
-               float zoom, int alias, int stack_cap, int wide_fresnel,
+               float zoom, float world_w, float world_h, int alias,
+               int stack_cap, int wide_fresnel,
                int64_t offset, int64_t count, float* out) {
   SceneView s{spheres, n_spheres, lights, n_lights,
               {{bg[0], bg[1], bg[2]}, bg[3], bg[4]}};
 
-  const float xstep = 16.0f / static_cast<float>(width);
-  const float ystep = 12.0f / static_cast<float>(height);
-  const float aspect = 16.0f / 12.0f;
+  const float xstep = world_w / static_cast<float>(width);
+  const float ystep = world_h / static_cast<float>(height);
+  const float aspect = world_w / world_h;
   const float sub = xstep / static_cast<float>(alias);
   const float weight = 1.0f / static_cast<float>(alias * alias);
 

@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the pixel grid over all devices")
     p.add_argument("--oracle", action="store_true",
                    help="render with the strict numpy oracle (slow)")
+    p.add_argument("--oracle-cap", type=int, default=5,
+                   help="oracle trace-stack capacity (5 = the GPU build "
+                        "that produced testPPM.ppm; 6 = the CPU build)")
+    p.add_argument("--fresnel-double", action="store_true",
+                   help="oracle uses double-precision Fresnel intermediates "
+                        "(the reference CPU build, raytracer.h:380-381); "
+                        "default float matches the GPU golden")
     p.add_argument("--time", action="store_true", dest="timeit",
                    help="print timing/Mrays/s stats as JSON")
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"],
@@ -116,7 +123,8 @@ def main(argv=None) -> int:
 
     if args.oracle:
         from raytpu.oracle import render_oracle
-        img = render_oracle(scene, cfg)
+        img = render_oracle(scene, cfg, cap=args.oracle_cap,
+                            fresnel_double=args.fresnel_double)
     elif args.timeit:
         from raytpu.parallel.mesh import make_mesh
         from raytpu.render import render_timed

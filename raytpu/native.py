@@ -53,6 +53,7 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,   # lights
             ctypes.POINTER(ctypes.c_float),                 # bg
             ctypes.c_int, ctypes.c_int, ctypes.c_float,     # w, h, zoom
+            ctypes.c_float, ctypes.c_float,                 # world_w, world_h
             ctypes.c_int, ctypes.c_int, ctypes.c_int,       # alias, cap, wide
             ctypes.c_int64, ctypes.c_int64,                 # offset, count
             ctypes.POINTER(ctypes.c_float),                 # out
@@ -103,7 +104,10 @@ def render_native(scene, cfg, cap: int = 5, fresnel_double: bool = False,
     fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     lib.rt_render(fptr(spheres), spheres.shape[1], fptr(lights),
                   lights.shape[1], fptr(bg), cfg.width, cfg.height,
-                  ctypes.c_float(cfg.zoom), cfg.alias_factor, cap,
+                  ctypes.c_float(cfg.zoom),
+                  ctypes.c_float(cfg.image_world_width),
+                  ctypes.c_float(cfg.image_world_height),
+                  cfg.alias_factor, cap,
                   int(fresnel_double), offset, count, fptr(out))
     if full:
         return out.reshape(cfg.height, cfg.width, 3)

@@ -49,11 +49,13 @@ def render_single(scene, cfg: RenderConfig, backend: str = "auto"):
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str):
+def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str,
+                       interpret: bool):
     """Compile one sharded render: pixel ids block-sharded over the mesh's
-    pixel axis, scene replicated, zero collectives (pixels independent)."""
+    pixel axis, scene replicated, zero collectives (pixels independent).
 
-    interpret = jax.default_backend() != "tpu"  # pallas sanitizer off-TPU
+    `interpret` (pallas sanitizer mode off-TPU) is part of the cache key so a
+    platform switch after the first call cannot reuse a stale closure."""
 
     def body(scene, gid):
         if backend == "pallas":
@@ -79,11 +81,12 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto"):
     if mesh is None:
         mesh = make_mesh()
     backend = resolve_backend(backend)
+    interpret = jax.default_backend() != "tpu"
     n = int(mesh.devices.size)
     p = cfg.num_pixels
     per = -(-p // n)
     gid = jnp.minimum(jnp.arange(per * n, dtype=jnp.int32), p - 1)
-    out = _sharded_render_fn(cfg, mesh, backend)(scene, gid)
+    out = _sharded_render_fn(cfg, mesh, backend, interpret)(scene, gid)
     return out[:p].reshape(cfg.height, cfg.width, 3)
 
 

@@ -44,6 +44,23 @@ def test_native_random_scene():
     np.testing.assert_array_equal(nat[mask], pyo[mask])
 
 
+def test_native_nondefault_world_plane():
+    # RenderConfig.image_world_width/height must reach the C ABI (the
+    # reference hard-codes 16x12 in-kernel, raytrace_kernel.cl:910-911).
+    import dataclasses
+    scene = default_scene(bg_opacity=0.0)
+    cfg = RenderConfig(width=48, height=32, alias_factor=2,
+                       image_world_width=8.0, image_world_height=6.0)
+    nat = render_native(scene, cfg, cap=5, fresnel_double=False)
+    pyo = render_oracle(scene, cfg, cap=5, fresnel_double=False)
+    mask = ~np.isnan(pyo)
+    np.testing.assert_array_equal(nat[mask], pyo[mask])
+    # And it actually changes the camera vs the 16x12 default.
+    base = render_native(scene, dataclasses.replace(
+        cfg, image_world_width=16.0, image_world_height=12.0))
+    assert not np.allclose(nat, base)
+
+
 def test_native_offset_count():
     scene = default_scene()
     cfg = RenderConfig(width=32, height=16, alias_factor=1)
