@@ -71,18 +71,39 @@ def loss_and_grad_pallas(scene, cfg: RenderConfig, target_flat):
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_grad_fn(cfg: RenderConfig, mesh):
+def _sharded_grad_fn(cfg: RenderConfig, mesh, backend: str = "jnp",
+                     interpret: bool = False):
     """Compile the distributed gradient.
 
     The forward render is shard_mapped (pixels block-sharded, scene
     replicated, no collectives); differentiating *through* the shard_map
     makes JAX insert the one collective this framework needs — a psum of the
     scene-parameter cotangents over the pixel axis — which XLA's scheduler
-    can overlap with the backward bounce tree."""
+    can overlap with the backward bounce tree.
 
-    render = jax.shard_map(
-        lambda scene, gid: render_pixels(scene, cfg, gid),
-        mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)), out_specs=P(PIXEL_AXIS))
+    backend="pallas" puts the fused forward+backward kernel pair inside the
+    shard_map body (each shard renders/differentiates its own pixel block via
+    the per-shard offset); "jnp" uses the XLA-autodiff tracer.  `interpret`
+    runs the kernels in interpret mode (the off-TPU sanitizer path)."""
+
+    if backend == "pallas":
+        from raytpu.kernels.trace_pallas import render_pixels_pallas_ad
+
+        per = cfg.num_pixels // int(mesh.devices.size)
+
+        def body(scene, gid):
+            return render_pixels_pallas_ad(scene, cfg, interpret,
+                                           gid[0], per)
+
+        # check_vma=False: pallas_call outputs carry no varying-axis
+        # metadata (same escape hatch as the sharded forward render).
+        render = jax.shard_map(body, mesh=mesh,
+                               in_specs=(P(), P(PIXEL_AXIS)),
+                               out_specs=P(PIXEL_AXIS), check_vma=False)
+    else:
+        render = jax.shard_map(
+            lambda scene, gid: render_pixels(scene, cfg, gid),
+            mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)), out_specs=P(PIXEL_AXIS))
 
     def loss(scene, gid, target_flat):
         err = render(scene, gid) - target_flat
@@ -91,20 +112,35 @@ def _sharded_grad_fn(cfg: RenderConfig, mesh):
     return jax.jit(jax.value_and_grad(loss))
 
 
-def loss_and_grad_sharded(scene, cfg: RenderConfig, target_flat, mesh=None):
+def loss_and_grad_sharded(scene, cfg: RenderConfig, target_flat, mesh=None,
+                          backend: str = "auto"):
     """Distributed loss + gradient; scene replicated, pixels sharded.
 
     The pixel count must divide by the mesh size (pad the target upstream
-    if needed).
+    if needed).  backend="auto" picks the fused Pallas kernels on TPU when
+    the sphere count fits their unroll cap, the jnp autodiff path otherwise.
     """
+    import jax as _jax
+
+    from raytpu.kernels.trace_pallas import BWD_MAX_SPHERES
+
     if mesh is None:
         mesh = make_mesh()
     n = int(mesh.devices.size)
     p = cfg.num_pixels
     if p % n:
         raise ValueError(f"{p} pixels not divisible by mesh size {n}")
+    small = scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES
+    if backend == "auto":
+        backend = ("pallas" if _jax.default_backend() == "tpu" and small
+                   else "jnp")
+    if backend == "pallas" and not small:
+        raise ValueError("pallas backend needs a sphere count within "
+                         "BWD_MAX_SPHERES")
+    interpret = backend == "pallas" and _jax.default_backend() != "tpu"
     gid = jnp.arange(p, dtype=jnp.int32)
-    return _sharded_grad_fn(cfg, mesh)(scene, gid, target_flat)
+    return _sharded_grad_fn(cfg, mesh, backend, interpret)(
+        scene, gid, target_flat)
 
 
 def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
@@ -117,8 +153,9 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
     leaf; gradients of False leaves are zeroed (fit only what you perturb —
     letting adam wander opacity/IOR freely destabilises the render).
     `backend`: "auto" uses the fused Pallas forward+backward kernels on TPU
-    (single-device, sphere count within the kernels' unroll cap), the jnp
-    autodiff path otherwise.
+    (sphere count within the kernels' unroll cap) — with or without a mesh;
+    the jnp autodiff path otherwise.  With a mesh, the fused kernels run
+    inside the shard_map body and the scene cotangents are psum'd.
     """
     import optax
 
@@ -128,16 +165,18 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
                   and backend in ("auto", "pallas")
                   and jax.default_backend() == "tpu"
                   and scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES)
-    if backend == "pallas" and not use_pallas:
-        raise ValueError("pallas fitting needs a TPU, no mesh, and a sphere "
-                         "count within BWD_MAX_SPHERES")
+    if backend == "pallas" and mesh is None and not use_pallas:
+        raise ValueError("pallas fitting needs a TPU (or a mesh, where "
+                         "interpret mode is allowed) and a sphere count "
+                         "within BWD_MAX_SPHERES")
 
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     opt_state = opt.init(scene)
     losses = []
     for step in range(steps):
         if mesh is not None:
-            loss, grads = loss_and_grad_sharded(scene, cfg, target_flat, mesh)
+            loss, grads = loss_and_grad_sharded(scene, cfg, target_flat, mesh,
+                                                backend=backend)
         elif use_pallas:
             loss, grads = loss_and_grad_pallas(scene, cfg, target_flat)
         else:

@@ -729,10 +729,17 @@ def _scene_tables(scene):
     return scene_tbl, lights_tbl, bg_tbl
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "count"))
+def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
+                        offset=0, count: int | None = None):
     """Scene-parameter gradients for sum(render_pixels * g): one fused
-    backward kernel over the (tile, sample) grid."""
+    backward kernel over the (tile, sample) grid.
+
+    `offset`/`count` select a flat pixel block (the same contract as the
+    forward kernel) so a shard_map body can run the fused backward on its own
+    pixel shard; `g` is that block's cotangent, shape (count, 3).  Tail-pad
+    pixels re-render pixel p-1 but carry an exactly-zero cotangent, so they
+    contribute nothing to the accumulated scene gradients."""
     from raytpu.scene import Lights, Medium, Scene, Spheres
 
     n_spheres = scene.spheres.pos.shape[0]
@@ -744,11 +751,13 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False):
             f"for larger scenes")
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
-    offset_tbl = jnp.zeros((1, 1), jnp.int32)
+    offset_tbl = jnp.asarray(offset, jnp.int32).reshape(1, 1)
 
     p = cfg.num_pixels
-    tiles = -(-p // TILE_PIXELS)
-    pad = tiles * TILE_PIXELS - p
+    if count is None:
+        count = p
+    tiles = -(-count // TILE_PIXELS)
+    pad = tiles * TILE_PIXELS - count
     g_pad = jnp.pad(g, ((0, pad), (0, 0)))        # zero cotangent on tail
     g_tbl = g_pad.T.reshape(3, tiles * TILE_ROWS, LANES)
 
@@ -796,22 +805,36 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def render_pixels_pallas_ad(scene, cfg: RenderConfig, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4))
+def render_pixels_pallas_ad(scene, cfg: RenderConfig, interpret: bool = False,
+                            offset=0, count: int | None = None):
     """Differentiable fused render: forward = the Pallas forward kernel,
     backward = the fused gradient kernel (scene cotangents only).
 
-    Requires a statically-unrollable sphere count (<= BWD_MAX_SPHERES);
-    callers with larger scenes should use the jnp tracer's autodiff."""
-    return render_pixels_pallas(scene, cfg, interpret=interpret)
+    `offset` may be a traced int32 scalar (e.g. a shard_map body's gid[0])
+    and `count` a static per-shard pixel count, so the fused forward+backward
+    pair runs inside the distributed training step — the shard_map transpose
+    then psums the per-shard scene cotangents, the framework's one
+    collective.  Requires a statically-unrollable sphere count
+    (<= BWD_MAX_SPHERES); callers with larger scenes should use the jnp
+    tracer's autodiff."""
+    return render_pixels_pallas(scene, cfg, interpret=interpret,
+                                offset=offset, count=count)
 
 
-def _ad_fwd(scene, cfg, interpret):
-    return render_pixels_pallas(scene, cfg, interpret=interpret), scene
+def _ad_fwd(scene, cfg, interpret, offset, count):
+    out = render_pixels_pallas(scene, cfg, interpret=interpret,
+                               offset=offset, count=count)
+    return out, (scene, offset)
 
 
-def _ad_bwd(cfg, interpret, scene, g):
-    return (_grad_pixels_pallas(scene, cfg, g, interpret=interpret),)
+def _ad_bwd(cfg, interpret, count, res, g):
+    scene, offset = res
+    gscene = _grad_pixels_pallas(scene, cfg, g, interpret=interpret,
+                                 offset=offset, count=count)
+    # offset is integer-typed: its cotangent is the symbolic float0 zero.
+    g_offset = np.zeros(np.shape(offset), jax.dtypes.float0)
+    return (gscene, g_offset)
 
 
 render_pixels_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
