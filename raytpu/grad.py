@@ -56,15 +56,21 @@ def loss_and_grad(scene, cfg: RenderConfig, target_flat):
     return jax.value_and_grad(image_loss)(scene, cfg, target_flat)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def loss_and_grad_pallas(scene, cfg: RenderConfig, target_flat):
     """Loss + gradients via the fused Pallas forward/backward kernels
-    (raytpu.kernels.trace_pallas) — the fast TPU path.  Requires a
-    statically-unrollable sphere count (kernels' BWD_MAX_SPHERES)."""
+    (raytpu.kernels.trace_pallas) — the fast TPU path (interpret-mode
+    sanitizer off-TPU).  Sphere count bounded by the kernels'
+    BWD_MAX_SPHERES."""
+    interpret = jax.default_backend() != "tpu"
+    return _loss_and_grad_pallas(scene, cfg, target_flat, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _loss_and_grad_pallas(scene, cfg: RenderConfig, target_flat, interpret):
     from raytpu.kernels.trace_pallas import render_pixels_pallas_ad
 
     def loss(s):
-        err = render_pixels_pallas_ad(s, cfg) - target_flat
+        err = render_pixels_pallas_ad(s, cfg, interpret) - target_flat
         return jnp.mean(err * err)
 
     return jax.value_and_grad(loss)(scene)

@@ -77,9 +77,8 @@ UNROLL_SPHERES = 16
 
 class _ScalarTable:
     """SMEM-ref-like [row, i] indexing over a tuple-of-tuples of traced
-    scalars — the backward kernel reads the whole scene into values once so
-    jax.vjp can differentiate through the sphere loops (which must then be
-    statically unrolled: the column index has to be a python int)."""
+    scalars — the backward kernel reads the (small) light table into values
+    once so jax.vjp can differentiate the statically-unrolled light loop."""
 
     def __init__(self, vals):
         self.vals = vals
@@ -87,10 +86,6 @@ class _ScalarTable:
     def __getitem__(self, key):
         row, i = key
         return self.vals[row][i]
-
-
-def _needs_unroll(table) -> bool:
-    return isinstance(table, _ScalarTable)
 
 
 def _sphere_loop(n, body, init, force_unroll=False):
@@ -148,7 +143,7 @@ def _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz):
     init = (big, zero, zero, zero, zero,
             zero, zero, zero, zero, zero, zero, zero, zero)
     (min_t, found_m, cx, cy, cz, mr, mg, mb, gr, gg, gb, op, ior) = \
-        _sphere_loop(n_spheres, body, init, _needs_unroll(scene))
+        _sphere_loop(n_spheres, body, init)
     found = found_m > 0
 
     hx = ox + min_t * dx
@@ -176,12 +171,11 @@ def _shadow_blocked(scene, n_spheres, px, py, pz, lx, ly, lz, gap):
         hit = ok & (t < _MAX_DIST) & (t * t < gap)
         return jnp.where(hit, f32(1.0), blocked)
 
-    mask = _sphere_loop(n_spheres, body, jnp.zeros(px.shape, f32),
-                        _needs_unroll(scene))
+    mask = _sphere_loop(n_spheres, body, jnp.zeros(px.shape, f32))
     return mask > 0
 
 
-def _matte_sum(scene, lights, n_spheres, n_lights, hx, hy, hz, nx, ny, nz):
+def _matte_sum(scn, lights, n_lights, hx, hy, hz, nx, ny, nz):
     """calculateMatte (raytracer.h:313-367): static unroll over lights."""
     sr = jnp.zeros(hx.shape, f32)
     sg = jnp.zeros(hx.shape, f32)
@@ -192,7 +186,7 @@ def _matte_sum(scene, lights, n_spheres, n_lights, hx, hy, hz, nx, ny, nz):
         gap = ex * ex + ey * ey + ez * ez
         inv = jax.lax.rsqrt(jnp.where(gap == 0, f32(1.0), gap))
         incidence = nx * ex * inv + ny * ey * inv + nz * ez * inv
-        blocked = _shadow_blocked(scene, n_spheres, hx, hy, hz, lx, ly, lz, gap)
+        blocked = scn.shadow_blocked(hx, hy, hz, lx, ly, lz, gap)
         w = jnp.where(~blocked & (incidence > 0), incidence / gap, f32(0.0))
         sr = sr + w * lights[3, l]
         sg = sg + w * lights[4, l]
@@ -221,9 +215,136 @@ def _primary_container(scene, n_spheres, px, py, pz):
     init = (jnp.zeros(shape, f32), jnp.zeros(shape, f32),
             jnp.zeros(shape, f32), jnp.zeros(shape, f32),
             jnp.ones(shape, f32), jnp.zeros(shape, f32))
-    got, mr, mg, mb, ior, op = _sphere_loop(n_spheres, body, init,
-                                            _needs_unroll(scene))
+    got, mr, mg, mb, ior, op = _sphere_loop(n_spheres, body, init)
     return got > 0, mr, mg, mb, ior, op
+
+
+class _SmemScene:
+    """Scene access for the forward kernel: per-sphere selection loops AND
+    field values both come from the packed SMEM table via scalar broadcasts
+    (the TPU version of the reference's __local staging,
+    raytrace_kernel.cl:890-907)."""
+
+    def __init__(self, scene, n_spheres):
+        self.scene = scene
+        self.n = n_spheres
+
+    def closest_hit(self, ox, oy, oz, dx, dy, dz):
+        return _closest_hit(self.scene, self.n, ox, oy, oz, dx, dy, dz)
+
+    def shadow_blocked(self, px, py, pz, lx, ly, lz, gap):
+        return _shadow_blocked(self.scene, self.n, px, py, pz, lx, ly, lz,
+                               gap)
+
+    def primary_container(self, px, py, pz):
+        return _primary_container(self.scene, self.n, px, py, pz)
+
+
+def _gather_cols(table_vals, idx):
+    """Differentiable per-ray gather of columns from a (rows, N) value
+    table via a one-hot matmul — the TPU-idiomatic gather (MXU does the
+    work, and its transpose is just the mirrored matmul, so jax.vjp needs
+    no scatter or loop rules).  idx == -1 gathers exact zeros.
+
+    idx: (R, L) int32 -> returns (rows, R, L) float32.
+    """
+    rows, n = table_vals.shape
+    r, lanes = idx.shape
+    flat = idx.reshape(1, r * lanes)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, r * lanes), 0)
+    onehot = (iota == flat).astype(f32)            # int compare: no tangent
+    out = jnp.dot(table_vals, onehot, preferred_element_type=jnp.float32)
+    return out.reshape(rows, r, lanes)
+
+
+class _VjpScene:
+    """Scene access for the backward kernel: selection indices (closest-hit
+    argmin, container first-match, shadow masks) come from NON-differentiable
+    fori_loops over the SMEM scene table (stop-gradient ray inputs), and the
+    selected sphere's fields are gathered from a traced (SCENE_ROWS, N) value
+    table with one-hot matmuls, then the reference formulas are recomputed
+    differentiably from the gathered values.  jax.vjp through a bounce level
+    therefore sees only matmuls + elementwise ops — no sphere-indexed control
+    flow to transpose and no static unrolling, so compile time and the
+    supported sphere count no longer scale with the unroll.
+
+    Primal values are bit-identical to _SmemScene's: the winning sphere's t
+    is recomputed with the same _ray_sphere_t op order, and non-found lanes
+    keep the same kMaxRenderDist=1000 init (raytracer.h:156)."""
+
+    def __init__(self, scene_smem, vals, n_spheres):
+        self.scene = scene_smem    # SMEM ref (or any [row, i]-indexable)
+        self.vals = vals           # (SCENE_ROWS, N) traced float32
+        self.n = n_spheres
+
+    def closest_hit(self, ox, oy, oz, dx, dy, dz):
+        sg = jax.lax.stop_gradient
+        sox, soy, soz = sg(ox), sg(oy), sg(oz)
+        sdx, sdy, sdz = sg(dx), sg(dy), sg(dz)
+        a_s = sdx * sdx + sdy * sdy + sdz * sdz
+        scene = self.scene
+
+        def body(i, carry):
+            min_t, idx = carry
+            t, ok = _ray_sphere_t(sox, soy, soz, sdx, sdy, sdz, a_s,
+                                  scene[_S_PX, i], scene[_S_PY, i],
+                                  scene[_S_PZ, i], scene[_S_RAD, i])
+            better = ok & (t < min_t)
+            return (jnp.where(better, t, min_t),
+                    jnp.where(better, i, idx))
+
+        big = jnp.full(ox.shape, _MAX_DIST)
+        neg = jnp.full(ox.shape, -1, jnp.int32)
+        _, idx = _sphere_loop(self.n, body, (big, neg))
+        found = idx >= 0
+
+        fields = _gather_cols(self.vals, idx)
+        cx, cy, cz, rad = fields[_S_PX], fields[_S_PY], fields[_S_PZ], \
+            fields[_S_RAD]
+        a = dx * dx + dy * dy + dz * dz
+        t_w, _ = _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, cx, cy, cz, rad)
+        min_t = jnp.where(found, t_w, _MAX_DIST)
+
+        hx = ox + min_t * dx
+        hy = oy + min_t * dy
+        hz = oz + min_t * dz
+        nx, ny, nz = hx - cx, hy - cy, hz - cz
+        n2 = nx * nx + ny * ny + nz * nz
+        inv = jax.lax.rsqrt(jnp.where(n2 == 0, f32(1.0), n2))
+        return dict(t=min_t, found=found, hx=hx, hy=hy, hz=hz,
+                    nx=nx * inv, ny=ny * inv, nz=nz * inv,
+                    mr=fields[_S_MR], mg=fields[_S_MG], mb=fields[_S_MB],
+                    gr=fields[_S_GR], gg=fields[_S_GG], gb=fields[_S_GB],
+                    op=fields[_S_OP], ior=fields[_S_IOR])
+
+    def shadow_blocked(self, px, py, pz, lx, ly, lz, gap):
+        # Visibility is a step function: zero gradient almost everywhere, so
+        # the whole test runs on stop-gradient inputs against SMEM.
+        sg = jax.lax.stop_gradient
+        return _shadow_blocked(self.scene, self.n, sg(px), sg(py), sg(pz),
+                               sg(lx), sg(ly), sg(lz), sg(gap))
+
+    def primary_container(self, px, py, pz):
+        sg = jax.lax.stop_gradient
+        spx, spy, spz = sg(px), sg(py), sg(pz)
+        scene = self.scene
+
+        def body(i, idx):
+            ex = spx - scene[_S_PX, i]
+            ey = spy - scene[_S_PY, i]
+            ez = spz - scene[_S_PZ, i]
+            r = scene[_S_RAD, i] + _EPS_CONTAIN
+            inside = (ex * ex + ey * ey + ez * ez <= r * r) & (idx < 0)
+            return jnp.where(inside, i, idx)
+
+        neg = jnp.full(px.shape, -1, jnp.int32)
+        idx = _sphere_loop(self.n, body, neg)
+        fields = _gather_cols(self.vals, idx)
+        got = idx >= 0
+        # Non-contained lanes mirror _primary_container's init (ior=1).
+        ior = jnp.where(got, fields[_S_IOR], f32(1.0))
+        return (got, fields[_S_MR], fields[_S_MG], fields[_S_MB], ior,
+                fields[_S_OP])
 
 
 def _fresnel(n1, n2, c1, c2):
@@ -237,7 +358,7 @@ def _fresnel(n1, n2, c1, c2):
     return jnp.where(den2 < _EPS_FRESNEL, f32(1.0), refl)
 
 
-def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn,
+def _trace_level(scn, lights, n_lights, bg, state, spawn,
                  skip_dead_shading=False):
     """One bounce level on SoA ray state; mirrors raytpu.trace._trace_level
     (see its docstring for the reference-semantics map).  `bg` is a dict of
@@ -249,7 +370,7 @@ def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn,
     result is fully masked by `mgate` anyway.  The backward kernel leaves it
     off to keep its per-level vjp straight-line."""
     (ox, oy, oz, dx, dy, dz, ir, ig, ib, mmr, mmg, mmb, mior, mop) = state
-    hit = _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz)
+    hit = scn.closest_hit(ox, oy, oz, dx, dy, dz)
     sig = (ir >= _MIN_SIG) | (ig >= _MIN_SIG) | (ib >= _MIN_SIG)
     live = hit["found"] & sig
 
@@ -263,7 +384,7 @@ def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn,
     mgate = live & (opacity > 0)
 
     def shade(_):
-        return _matte_sum(scene, lights, n_spheres, n_lights,
+        return _matte_sum(scn, lights, n_lights,
                           hit["hx"], hit["hy"], hit["hz"],
                           hit["nx"], hit["ny"], hit["nz"])
 
@@ -290,8 +411,8 @@ def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn,
     probe_x = hx + _SHIFT * dx
     probe_y = hy + _SHIFT * dy
     probe_z = hz + _SHIFT * dz
-    t_in, tmr, tmg, tmb, tior, top = _primary_container(
-        scene, n_spheres, probe_x, probe_y, probe_z)
+    t_in, tmr, tmg, tmb, tior, top = scn.primary_container(
+        probe_x, probe_y, probe_z)
     tior_bg = jnp.where(t_in, tior, bg["ior"])
     tmop = jnp.where(t_in, top, bg["opacity"])
     tmmr = jnp.where(t_in, tmr, bg["matte_r"])
@@ -365,7 +486,7 @@ def _trace_level(scene, lights, n_spheres, n_lights, bg, state, spawn,
     return (er, eg, eb), children
 
 
-def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
+def _trace_tree(scn, lights, bg, n_lights, max_depth,
                 dx, dy, dz, early_exit=True, remat=False):
     """Run the full bounce tree for one tile's camera rays; returns the
     un-weighted (acc_r, acc_g, acc_b) pixel sums.  `early_exit` wraps each
@@ -391,7 +512,7 @@ def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
             # the shadow loops blew Mosaic compile times by >10x when tried;
             # the whole-level early exit below already skips dead tiles.
             (er, eg, eb), children = _trace_level(
-                scene, lights, n_spheres, n_lights, bg, state, spawn=spawn)
+                scn, lights, n_lights, bg, state, spawn=spawn)
             return (er, eg, eb), (children if spawn else ())
 
         if remat:
@@ -407,7 +528,7 @@ def _trace_tree(scene, lights, bg, n_spheres, n_lights, max_depth,
             for c0 in range(0, rows_cur, chunk):
                 sub = tuple(s[c0:c0 + chunk] for s in state)
                 (er_c, eg_c, eb_c), _ = _trace_level(
-                    scene, lights, n_spheres, n_lights, bg, sub, spawn=False)
+                    scn, lights, n_lights, bg, sub, spawn=False)
                 parts.append((er_c, eg_c, eb_c))
             emissions = tuple(jnp.concatenate([p[k] for p in parts], axis=0)
                               for k in range(3))
@@ -481,7 +602,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
             sj = s % alias
             dx, dy, dz = _camera_dirs(cfg, gid, si, sj)
             sr, sg, sb = _trace_tree(
-                scene_ref, lights_ref, bg, n_spheres, n_lights,
+                _SmemScene(scene_ref, n_spheres), lights_ref, bg, n_lights,
                 cfg.max_depth, dx, dy, dz, early_exit=True)
             return acc_r + sr, acc_g + sg, acc_b + sb
 
@@ -558,34 +679,140 @@ def render_image_pallas(scene, cfg: RenderConfig, interpret: bool = False):
 # ---------------------------------------------------------------------------
 # Backward: a hand-fused gradient kernel via custom_vjp.
 #
-# The scene is tiny (N*12 + L*6 + 5 scalars), so the backward pass reads it
-# out of SMEM into *traced scalar values* once per tile, rebuilds the whole
-# bounce tree as a pure function of those scalars, and calls jax.vjp on it
-# INSIDE the kernel — Mosaic compiles the resulting straight-line
-# forward+reverse sweep like any other kernel body.  Scene-parameter
-# cotangents accumulate across the sequential (tile, sample) grid into small
-# gradient tables.  The sphere loops must be statically unrolled for vjp
-# (lax.fori_loop has no reverse rule); validated to 256 spheres (compile
-# time grows with the unroll: ~1 min at 64, ~14 min at 256, one-time per
-# shape), beyond which the jnp autodiff path takes over.
+# The bounce tree is rebuilt per tile as a pure function of a traced
+# (SCENE_ROWS, N) scene value table (read once from VMEM) plus the light/bg
+# scalars, and jax.vjp runs on it INSIDE the kernel — Mosaic compiles the
+# resulting forward+reverse sweep like any other kernel body.  The _VjpScene
+# provider keeps every sphere-indexed decision (closest-hit argmin, container
+# first-match, shadow masks) in non-differentiable fori_loops over the SMEM
+# copy of the scene, and routes field values through one-hot-matmul gathers
+# of the VMEM value table, so the differentiated program is matmuls +
+# elementwise ops only: compile time is independent of the sphere count (no
+# static unrolling, no fori transpose), and sphere-parameter cotangents fall
+# out of the gather matmuls' transposes as (SCENE_ROWS, N) arrays that
+# accumulate across the sequential (tile, sample) grid.
+#
+# BWD_MAX_SPHERES is now only a VMEM-budget guard (the one-hot tables are
+# (N, chunk_rays) floats); the per-level ray chunking shrinks with N to keep
+# them bounded.
 # ---------------------------------------------------------------------------
 
-BWD_MAX_SPHERES = 256
+BWD_MAX_SPHERES = 4096
+
+
+def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
+                    dx, dy, dz, gw):
+    """Per-tile reverse sweep: gradients of sum(levels' emissions * gw) with
+    respect to (sv, lv, bgv) plus nothing else — the pure orchestration the
+    backward kernel runs per (tile, sample), extracted so tests can execute
+    it eagerly outside a pallas_call.
+
+    scene_sel: [row, i]-indexable non-differentiable scene access for the
+    selection loops (the SMEM ref in-kernel, any array outside).
+    sv: (SCENE_ROWS, N) traced value table (the differentiable scene input).
+
+    Manual per-level rematerialization (jax.checkpoint's remat2 has no
+    Pallas lowering): the forward stores only each level's input state; the
+    reverse sweep re-runs one level at a time under a local jax.vjp, so AD
+    residuals never exceed one level's working set."""
+
+    def level_fn(sv_vals, lv_vals, bgv_vals, st, spawn):
+        scn = _VjpScene(scene_sel, sv_vals, n_spheres)
+        lights = _ScalarTable(lv_vals)
+        bg = dict(matte_r=bgv_vals[0], matte_g=bgv_vals[1],
+                  matte_b=bgv_vals[2], ior=bgv_vals[3],
+                  opacity=bgv_vals[4])
+        (er, eg, eb), children = _trace_level(
+            scn, lights, n_lights, bg, st, spawn=spawn)
+        return (er, eg, eb), (children if spawn else ())
+
+    zero = jnp.zeros((TILE_ROWS, LANES), f32)
+    one = jnp.ones((TILE_ROWS, LANES), f32)
+    state0 = (zero, zero, zero, dx, dy, dz, one, one, one,
+              zero + bgv[0], zero + bgv[1], zero + bgv[2],
+              zero + bgv[3], zero + bgv[4])
+
+    states = [state0]
+    for level in range(depth):
+        _, children = level_fn(sv, lv, bgv, states[level], True)
+        states.append(children)
+
+    def addt(a, b):
+        return jax.tree_util.tree_map(jnp.add, a, b)
+
+    # Wide levels are vjp'd in sequential row chunks: the level function
+    # is row-elementwise, parent rows [c0, c0+CH) map to child rows
+    # [c0, c0+CH) (refraction half) and [rows+c0, rows+c0+CH)
+    # (reflection half) of the concatenated children, and scene
+    # cotangents just sum over chunks.  This bounds the reverse sweep's
+    # peak shapes to CHUNK rows.
+    # 64 rows caps each vjp's AD-residual set (the dominant scoped-VMEM
+    # consumer); larger sphere counts shrink the chunk further so the
+    # (N, CHUNK*LANES) one-hot gather tables stay ~<= 8 MB each.
+    CHUNK = max(TILE_ROWS,
+                min(8 * TILE_ROWS,
+                    (16384 // max(n_spheres, 1)) // TILE_ROWS
+                    * TILE_ROWS))
+
+    d_sv = d_lv = d_bgv = None
+    cot_children = ()
+    for level in range(depth, -1, -1):
+        spawn = level < depth
+        rows_l = TILE_ROWS * 2 ** level
+        fn = lambda s_, l_, b_, st: level_fn(s_, l_, b_, st, spawn)
+        cot_em1 = tuple(
+            jnp.broadcast_to(g, (CHUNK // TILE_ROWS, TILE_ROWS, LANES))
+            .reshape(CHUNK, LANES) for g in gw) if rows_l > CHUNK else \
+            tuple(jnp.broadcast_to(g, (2 ** level, TILE_ROWS, LANES))
+                  .reshape(rows_l, LANES) for g in gw)
+
+        if rows_l <= CHUNK:
+            _, vjp = jax.vjp(fn, sv, lv, bgv, states[level])
+            ds, dl, db, cot_state = vjp((cot_em1, cot_children))
+        else:
+            cot_state_parts = []
+            ds = dl = db = None
+            for c0 in range(0, rows_l, CHUNK):
+                st_c = tuple(s[c0:c0 + CHUNK] for s in states[level])
+                cc_c = tuple(
+                    jnp.concatenate([cc[c0:c0 + CHUNK],
+                                     cc[rows_l + c0:rows_l + c0 + CHUNK]],
+                                    axis=0)
+                    for cc in cot_children) if spawn else ()
+                _, vjp = jax.vjp(fn, sv, lv, bgv, st_c)
+                ds_c, dl_c, db_c, cot_c = vjp((cot_em1, cc_c))
+                ds = ds_c if ds is None else addt(ds, ds_c)
+                dl = dl_c if dl is None else addt(dl, dl_c)
+                db = db_c if db is None else addt(db, db_c)
+                cot_state_parts.append(cot_c)
+            cot_state = tuple(
+                jnp.concatenate([p[k] for p in cot_state_parts], axis=0)
+                for k in range(len(cot_state_parts[0])))
+        d_sv = ds if d_sv is None else addt(d_sv, ds)
+        d_lv = dl if d_lv is None else addt(d_lv, dl)
+        d_bgv = db if d_bgv is None else addt(d_bgv, db)
+        cot_children = cot_state
+
+    # state0's medium fields are built from the background scalars
+    # (state0[9..13] = bg), so the final state cotangent folds into the
+    # bg gradient — the path the per-level sweep would otherwise drop.
+    d_bgv = tuple(d_bgv[k] + jnp.sum(cot_children[9 + k])
+                  for k in range(5))
+    return d_sv, d_lv, d_bgv
 
 
 def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
                      total_pixels: int):
     alias = cfg.alias_factor
 
-    def kernel(scene_ref, lights_ref, bg_ref, offset_ref, g_ref,
-               gscene_ref, glights_ref, gbg_ref):
+    def kernel(scene_ref, scene_vmem_ref, lights_ref, bg_ref, offset_ref,
+               g_ref, gscene_ref, glights_ref, gbg_ref):
         tile = pl.program_id(0)
         sample = pl.program_id(1)
         si = sample // alias
         sj = sample % alias
 
-        sv = tuple(tuple(scene_ref[r, i] for i in range(n_spheres))
-                   for r in range(SCENE_ROWS))
+        sv = scene_vmem_ref[:]  # (SCENE_ROWS, N) traced values: vjp input
         lv = tuple(tuple(lights_ref[r, l] for l in range(n_lights))
                    for r in range(LIGHT_ROWS))
         bgv = tuple(bg_ref[k, 0] for k in range(5))
@@ -597,100 +824,17 @@ def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
         dx, dy, dz = _camera_dirs(cfg, gid, si, sj)
 
         weight = f32(1.0 / (alias * alias))
-
-        # Manual per-level rematerialization (jax.checkpoint's remat2 has no
-        # Pallas lowering): the forward stores only each level's input state;
-        # the reverse sweep re-runs one level at a time under a local
-        # jax.vjp, so AD residuals never exceed one level's working set.
-        def level_fn(sv_vals, lv_vals, bgv_vals, st, spawn):
-            scene = _ScalarTable(sv_vals)
-            lights = _ScalarTable(lv_vals)
-            bg = dict(matte_r=bgv_vals[0], matte_g=bgv_vals[1],
-                      matte_b=bgv_vals[2], ior=bgv_vals[3],
-                      opacity=bgv_vals[4])
-            (er, eg, eb), children = _trace_level(
-                scene, lights, n_spheres, n_lights, bg, st, spawn=spawn)
-            return (er, eg, eb), (children if spawn else ())
-
-        zero = jnp.zeros((TILE_ROWS, LANES), f32)
-        one = jnp.ones((TILE_ROWS, LANES), f32)
-        bg_m = (bgv[0], bgv[1], bgv[2], bgv[3], bgv[4])
-        state0 = (zero, zero, zero, dx, dy, dz, one, one, one,
-                  zero + bg_m[0], zero + bg_m[1], zero + bg_m[2],
-                  zero + bg_m[3], zero + bg_m[4])
-
-        depth = cfg.max_depth
-        states = [state0]
-        for level in range(depth):
-            _, children = level_fn(sv, lv, bgv, states[level], True)
-            states.append(children)
-
         gw = (g_ref[0] * weight, g_ref[1] * weight, g_ref[2] * weight)
 
-        def addt(a, b):
-            return jax.tree_util.tree_map(jnp.add, a, b)
-
-        # Wide levels are vjp'd in sequential row chunks: the level function
-        # is row-elementwise, parent rows [c0, c0+CH) map to child rows
-        # [c0, c0+CH) (refraction half) and [rows+c0, rows+c0+CH)
-        # (reflection half) of the concatenated children, and scene
-        # cotangents just sum over chunks.  This bounds the reverse sweep's
-        # peak shapes to CHUNK rows.
-        CHUNK = 8 * TILE_ROWS  # 64 rows: caps each vjp's AD-residual set
-                               # (the dominant scoped-VMEM consumer)
-
-        d_sv = d_lv = d_bgv = None
-        cot_children = ()
-        for level in range(depth, -1, -1):
-            spawn = level < depth
-            rows_l = TILE_ROWS * 2 ** level
-            fn = lambda s_, l_, b_, st: level_fn(s_, l_, b_, st, spawn)
-            cot_em1 = tuple(
-                jnp.broadcast_to(g, (CHUNK // TILE_ROWS, TILE_ROWS, LANES))
-                .reshape(CHUNK, LANES) for g in gw) if rows_l > CHUNK else \
-                tuple(jnp.broadcast_to(g, (2 ** level, TILE_ROWS, LANES))
-                      .reshape(rows_l, LANES) for g in gw)
-
-            if rows_l <= CHUNK:
-                _, vjp = jax.vjp(fn, sv, lv, bgv, states[level])
-                ds, dl, db, cot_state = vjp((cot_em1, cot_children))
-            else:
-                cot_state_parts = []
-                ds = dl = db = None
-                for c0 in range(0, rows_l, CHUNK):
-                    st_c = tuple(s[c0:c0 + CHUNK] for s in states[level])
-                    cc_c = tuple(
-                        jnp.concatenate([cc[c0:c0 + CHUNK],
-                                         cc[rows_l + c0:rows_l + c0 + CHUNK]],
-                                        axis=0)
-                        for cc in cot_children) if spawn else ()
-                    _, vjp = jax.vjp(fn, sv, lv, bgv, st_c)
-                    ds_c, dl_c, db_c, cot_c = vjp((cot_em1, cc_c))
-                    ds = ds_c if ds is None else addt(ds, ds_c)
-                    dl = dl_c if dl is None else addt(dl, dl_c)
-                    db = db_c if db is None else addt(db, db_c)
-                    cot_state_parts.append(cot_c)
-                cot_state = tuple(
-                    jnp.concatenate([p[k] for p in cot_state_parts], axis=0)
-                    for k in range(len(cot_state_parts[0])))
-            d_sv = ds if d_sv is None else addt(d_sv, ds)
-            d_lv = dl if d_lv is None else addt(d_lv, dl)
-            d_bgv = db if d_bgv is None else addt(d_bgv, db)
-            cot_children = cot_state
-
-        # state0's medium fields are built from the background scalars
-        # (state0[9..13] = bg), so the final state cotangent folds into the
-        # bg gradient — the path the per-level sweep would otherwise drop.
-        d_bgv = tuple(d_bgv[k] + jnp.sum(cot_children[9 + k])
-                      for k in range(5))
+        d_sv, d_lv, d_bgv = _bwd_tile_grads(
+            scene_ref, sv, lv, bgv, n_spheres, n_lights, cfg.max_depth,
+            dx, dy, dz, gw)
 
         first = (tile == 0) & (sample == 0)
 
         @pl.when(first)
         def _():
-            for r in range(SCENE_ROWS):
-                for i in range(n_spheres):
-                    gscene_ref[r, i] = d_sv[r][i]
+            gscene_ref[:] = d_sv
             for r in range(LIGHT_ROWS):
                 for l in range(n_lights):
                     glights_ref[r, l] = d_lv[r][l]
@@ -699,9 +843,7 @@ def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
 
         @pl.when(~first)
         def _():
-            for r in range(SCENE_ROWS):
-                for i in range(n_spheres):
-                    gscene_ref[r, i] = gscene_ref[r, i] + d_sv[r][i]
+            gscene_ref[:] = gscene_ref[:] + d_sv
             for r in range(LIGHT_ROWS):
                 for l in range(n_lights):
                     glights_ref[r, l] = glights_ref[r, l] + d_lv[r][l]
@@ -745,8 +887,8 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
     n_spheres = scene.spheres.pos.shape[0]
     if n_spheres > BWD_MAX_SPHERES:
         raise ValueError(
-            f"the fused backward kernel statically unrolls its sphere loops "
-            f"and supports at most {BWD_MAX_SPHERES} spheres (got "
+            f"the fused backward kernel's one-hot gather tables support at "
+            f"most {BWD_MAX_SPHERES} spheres within the VMEM budget (got "
             f"{n_spheres}); use raytpu.grad.loss_and_grad (jnp autodiff) "
             f"for larger scenes")
     n_lights = scene.lights.pos.shape[0]
@@ -771,7 +913,8 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
             # physical VMEM, so raise the ceiling for this kernel.
             vmem_limit_bytes=127 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scene: selection loops
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scene: vjp value table
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -779,7 +922,7 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
@@ -789,7 +932,7 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
             jax.ShapeDtypeStruct((5, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(scene_tbl, lights_tbl, bg_tbl, offset_tbl, g_tbl)
+    )(scene_tbl, scene_tbl, lights_tbl, bg_tbl, offset_tbl, g_tbl)
 
     return Scene(
         spheres=Spheres(
@@ -815,9 +958,9 @@ def render_pixels_pallas_ad(scene, cfg: RenderConfig, interpret: bool = False,
     and `count` a static per-shard pixel count, so the fused forward+backward
     pair runs inside the distributed training step — the shard_map transpose
     then psums the per-shard scene cotangents, the framework's one
-    collective.  Requires a statically-unrollable sphere count
-    (<= BWD_MAX_SPHERES); callers with larger scenes should use the jnp
-    tracer's autodiff."""
+    collective.  Sphere count is bounded only by the backward kernel's
+    one-hot-gather VMEM budget (BWD_MAX_SPHERES); callers with larger scenes
+    should use the jnp tracer's autodiff."""
     return render_pixels_pallas(scene, cfg, interpret=interpret,
                                 offset=offset, count=count)
 
