@@ -39,7 +39,30 @@ inline V3 operator+(V3 a, V3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
 inline V3 operator-(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
 inline V3 operator*(float s, V3 a) { return {s * a.x, s * a.y, s * a.z}; }
 inline V3 hadamard(V3 a, V3 b) { return {a.x * b.x, a.y * b.y, a.z * b.z}; }
-inline float dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+
+// FMA-contraction experiment (BASELINE.md golden-residual study): a GPU
+// compiler may contract mul+add chains in raytrace_kernel.cl into fused
+// multiply-adds.  g_fma_mask switches the plausible contraction sites on so
+// the byte-exact fraction vs testPPM.ppm can be measured per hypothesis:
+//   bit 0: dot products fma-chained (vdot, raytrace_kernel.cl:96-100)
+//   bit 1: quadratic radicands b*b - 4ac as fma (raytrace_kernel.cl:170)
+//   bit 2: c = |disp|^2 - r^2 as fma (raytrace_kernel.cl:167)
+//   bit 3: Fresnel numerator n1 c1 - n2 c2 as fma (:409-411)
+//   bit 4: point = origin + t*dir / probe shifts as per-component fma
+static int g_fma_mask = 0;
+
+inline float dot(V3 a, V3 b) {
+  if (g_fma_mask & 1)
+    return std::fma(a.z, b.z, std::fma(a.y, b.y, a.x * b.x));
+  return a.x * b.x + a.y * b.y + a.z * b.z;
+}
+
+inline V3 madd(float t, V3 d, V3 o) {  // o + t*d, optionally contracted
+  if (g_fma_mask & 16)
+    return {std::fma(t, d.x, o.x), std::fma(t, d.y, o.y),
+            std::fma(t, d.z, o.z)};
+  return o + t * d;
+}
 inline V3 unit(V3 a) {
   float inv = 1.0f / std::sqrt(dot(a, a));
   return inv * a;
@@ -78,8 +101,10 @@ float sphereRoot(V3 o, V3 d, V3 c, float r, bool* ok) {
   V3 disp = o - c;
   float a = dot(d, d);
   float b = 2.0f * dot(d, disp);
-  float cc = dot(disp, disp) - r * r;
-  float radicand = b * b - 4.0f * a * cc;
+  float cc = (g_fma_mask & 4) ? std::fma(-r, r, dot(disp, disp))
+                              : dot(disp, disp) - r * r;
+  float radicand = (g_fma_mask & 2) ? std::fma(b, b, -(4.0f * a * cc))
+                                    : b * b - 4.0f * a * cc;
   float best = kBigT;
   if (radicand >= 0.0f) {
     float root = std::sqrt(radicand);
@@ -115,7 +140,7 @@ HitInfo closestHit(const SceneView& s, V3 o, V3 d) {
   }
   if (h.found) {
     h.t = minT;
-    h.point = o + minT * d;
+    h.point = madd(minT, d, o);
     h.normal = unit(h.point - s.centre(h.index));
     V3 seg = minT * d;
     h.sqDist = dot(seg, seg);
@@ -166,7 +191,7 @@ float fresnelTerm(float n1, float n2, float c1, float c2, bool wide) {
     float refl = static_cast<float>(num * num / den);
     return refl > 1.0f ? 1.0f : refl;
   }
-  float num = left - right;
+  float num = (g_fma_mask & 8) ? std::fma(n1, c1, -right) : left - right;
   float den = (left + right) * (left + right);
   if (den < kFresnelEps) return 1.0f;
   float refl = num * num / den;
@@ -193,7 +218,7 @@ Refraction refractAt(const SceneView& s, V3 point, V3 normal, V3 d,
     s1 = static_cast<float>(std::sqrt(1.0 - static_cast<double>(c1 * c1)));
   }
 
-  V3 probe = kShift * d + point;
+  V3 probe = madd(kShift, d, point);
   int inside = containerOf(s, probe);
   Refraction r;
   if (inside >= 0) {
@@ -212,7 +237,8 @@ Refraction refractAt(const SceneView& s, V3 point, V3 normal, V3 d,
   // (TIR) gives NaN roots that never beat the floor, leaving dir = 0.
   float qb = 2.0f * c1;
   float qc = 1.0f - 1.0f / (ratio * ratio);
-  float radicand = qb * qb - 4.0f * qc;
+  float radicand = (g_fma_mask & 2) ? std::fma(qb, qb, -(4.0f * qc))
+                                    : qb * qb - 4.0f * qc;
   float roots[2];
   int nroots;
   if (std::fabs(radicand) < kTol) {
@@ -288,7 +314,7 @@ V3 trace(const SceneView& s, V3 o, V3 d, V3 intensity, const Medium& medium,
   if (reflSig) {
     float perp = 2.0f * dot(d, hit.normal);
     V3 rd = unit(d - perp * hit.normal);
-    V3 ro = hit.point + kShift * rd;
+    V3 ro = madd(kShift, rd, hit.point);
     c = c + trace(s, ro, rd, reflCol, medium, anc + 1, c, cap, wideFresnel);
   }
   return c;
@@ -297,6 +323,9 @@ V3 trace(const SceneView& s, V3 o, V3 d, V3 intensity, const Medium& medium,
 }  // namespace
 
 extern "C" {
+
+// Select the FMA-contraction sites for the golden-residual experiment.
+void rt_set_fma_mask(int mask) { g_fma_mask = mask; }
 
 // Render `count` pixels starting at flat id `offset` of a width x height
 // frame with the reference camera model (raytrace_kernel.cl:908-952).

@@ -59,8 +59,17 @@ def _load():
             ctypes.POINTER(ctypes.c_float),                 # out
         ]
         lib.rt_render.restype = None
+        lib.rt_set_fma_mask.argtypes = [ctypes.c_int]
+        lib.rt_set_fma_mask.restype = None
         _lib = lib
     return _lib
+
+
+def set_fma_mask(mask: int) -> None:
+    """Select the oracle's FMA-contraction sites (the golden-residual
+    experiment; see rt_oracle.cpp's g_fma_mask bit table).  0 = the plain
+    strict semantics every bit-parity test pins."""
+    _load().rt_set_fma_mask(int(mask))
 
 
 def _pack_tables(scene):
