@@ -40,6 +40,32 @@ def main():
     except Exception:
         fwd_jnp = None
 
+    # Floor-free device time by the slope method (tools/device_time.py):
+    # every wall number above includes a ~28 ms per-dispatch tunnel floor;
+    # K frames inside one jit cancel it, giving true device Mrays/s + an
+    # estimated VPU-utilization figure vs the v5e fp32 peak.
+    device = None
+    if jax.default_backend() == "tpu":
+        try:
+            import sys as _sys
+            _sys.path.insert(0, "tools")
+            from device_time import (V5E_VPU_FP32_FLOPS,
+                                     device_frame_seconds, tree_flops)
+
+            from raytpu.kernels.trace_pallas import render_pixels_pallas
+            dev_s, _ = device_frame_seconds(
+                lambda s: render_pixels_pallas(s, cfg), scene, k=5)
+            flops = tree_flops(cfg, scene.spheres.pos.shape[0],
+                               scene.lights.pos.shape[0])
+            device = dict(
+                fwd_device_ms=round(dev_s * 1e3, 2),
+                fwd_device_mrays_per_s=round(
+                    cfg.rays_per_frame / dev_s / 1e6, 2),
+                est_vpu_mfu=round(flops / dev_s / V5E_VPU_FP32_FLOPS, 4),
+            )
+        except Exception:
+            pass
+
     # Forward + backward (loss + scene-parameter gradients): the fused
     # Pallas kernels on TPU, jnp autodiff elsewhere.
     target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
@@ -97,6 +123,7 @@ def main():
         "fwd_jnp_mrays_per_s": (round(fwd_jnp["mrays_per_s"], 3)
                                 if fwd_jnp else None),
         "golden_800x600_d5_fwd_bwd_ms": golden_ms,
+        **(device or {}),
         **meta,
     }
     print(json.dumps(result))

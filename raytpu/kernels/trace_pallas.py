@@ -39,6 +39,11 @@ from raytpu.config import RenderConfig
 LANES = 128
 TILE_ROWS = 8
 TILE_PIXELS = TILE_ROWS * LANES
+# Row granularity of the bounce tree's per-beam liveness conds (and of the
+# wide levels' live working set); must be a multiple of TILE_ROWS.  One
+# TILE_ROWS beam = the 2^level subtree sharing one bounce history for one
+# pixel tile — the natural coherence unit for dead-subtree skipping.
+EXIT_CHUNK = TILE_ROWS
 
 # Scene SMEM row layout: [pos_x, pos_y, pos_z, radius, matte_rgb x3,
 # gloss_rgb x3, opacity, ior]
@@ -97,7 +102,15 @@ def _sphere_loop(n, body, init, force_unroll=False):
     return jax.lax.fori_loop(0, n, body, init)
 
 
-def _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, cx, cy, cz, rad):
+def _inv2a(a):
+    """1 / (2a) with the reference's a==0 guard (raytracer.h:110-118) — the
+    divide is per-RAY, not per-sphere, so callers hoist it out of their
+    sphere loops and _ray_sphere_t multiplies (1-ulp different from the /
+    form; all kernel-vs-jnp contracts are tolerance-based)."""
+    return f32(1.0) / jnp.where(a == 0, f32(1.0), f32(2.0) * a)
+
+
+def _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, inv2a, cx, cy, cz, rad):
     """raySphere (raytracer.h:81-141) for one sphere, vectorized over rays."""
     px = ox - cx
     py = oy - cy
@@ -107,9 +120,8 @@ def _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, cx, cy, cz, rad):
     radicand = b * b - f32(4.0) * a * c
     has_real = radicand >= 0
     root = _sqrt_pos(radicand)
-    denom = jnp.where(a == 0, f32(1.0), f32(2.0) * a)
-    u0 = (-b + root) / denom
-    u1 = (-b - root) / denom
+    u0 = (-b + root) * inv2a
+    u1 = (-b - root) * inv2a
     t0 = jnp.where(has_real & (u0 > _EPS_RAY), u0, _BIG_T)
     t1 = jnp.where(has_real & (u1 > _EPS_RAY), u1, _BIG_T)
     t = jnp.minimum(t0, t1)
@@ -121,6 +133,7 @@ def _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz):
     running minimum plus the winning sphere's fields (strict '<' keeps the
     lowest index on ties, matching the C loop order)."""
     a = dx * dx + dy * dy + dz * dz
+    inv2a = _inv2a(a)
     shape = ox.shape
     big = jnp.full(shape, _MAX_DIST)
     zero = jnp.zeros(shape, f32)
@@ -128,7 +141,7 @@ def _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz):
     def body(i, carry):
         (min_t, found, cx, cy, cz, mr, mg, mb, gr, gg, gb, op, ior) = carry
         sx, sy, sz = scene[_S_PX, i], scene[_S_PY, i], scene[_S_PZ, i]
-        t, ok = _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, sx, sy, sz,
+        t, ok = _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, inv2a, sx, sy, sz,
                               scene[_S_RAD, i])
         better = ok & (t < min_t)
         sel = lambda new, old: jnp.where(better, new, old)
@@ -163,9 +176,10 @@ def _shadow_blocked(scene, n_spheres, px, py, pz, lx, ly, lz, gap):
     inv = jax.lax.rsqrt(jnp.where(gap == 0, f32(1.0), gap))
     dx, dy, dz = (lx - px) * inv, (ly - py) * inv, (lz - pz) * inv
     a = dx * dx + dy * dy + dz * dz
+    inv2a = _inv2a(a)
 
     def body(i, blocked):
-        t, ok = _ray_sphere_t(px, py, pz, dx, dy, dz, a,
+        t, ok = _ray_sphere_t(px, py, pz, dx, dy, dz, a, inv2a,
                               scene[_S_PX, i], scene[_S_PY, i],
                               scene[_S_PZ, i], scene[_S_RAD, i])
         hit = ok & (t < _MAX_DIST) & (t * t < gap)
@@ -219,25 +233,95 @@ def _primary_container(scene, n_spheres, px, py, pz):
     return got > 0, mr, mg, mb, ior, op
 
 
-class _SmemScene:
-    """Scene access for the forward kernel: per-sphere selection loops AND
-    field values both come from the packed SMEM table via scalar broadcasts
-    (the TPU version of the reference's __local staging,
-    raytrace_kernel.cl:890-907)."""
+def _closest_hit_idx(scene, n_spheres, ox, oy, oz, dx, dy, dz):
+    """calcIntersection's argmin only: fori over spheres carrying the running
+    (min_t, winner index) — 2 carries instead of 13, the cheap form for
+    large sphere counts (the winner's fields are gathered afterwards)."""
+    a = dx * dx + dy * dy + dz * dz
+    inv2a = _inv2a(a)
 
-    def __init__(self, scene, n_spheres):
+    def body(i, carry):
+        min_t, idx = carry
+        t, ok = _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, inv2a,
+                              scene[_S_PX, i], scene[_S_PY, i],
+                              scene[_S_PZ, i], scene[_S_RAD, i])
+        better = ok & (t < min_t)
+        return (jnp.where(better, t, min_t),
+                jnp.where(better, i, idx))
+
+    big = jnp.full(ox.shape, _MAX_DIST)
+    neg = jnp.full(ox.shape, -1, jnp.int32)
+    return _sphere_loop(n_spheres, body, (big, neg))
+
+
+def _container_idx(scene, n_spheres, px, py, pz):
+    """primaryContainer's first-match index (or -1), index-only form."""
+
+    def body(i, idx):
+        ex = px - scene[_S_PX, i]
+        ey = py - scene[_S_PY, i]
+        ez = pz - scene[_S_PZ, i]
+        r = scene[_S_RAD, i] + _EPS_CONTAIN
+        inside = (ex * ex + ey * ey + ez * ez <= r * r) & (idx < 0)
+        return jnp.where(inside, i, idx)
+
+    neg = jnp.full(px.shape, -1, jnp.int32)
+    return _sphere_loop(n_spheres, body, neg)
+
+
+class _SmemScene:
+    """Scene access for the forward kernel: per-sphere selection loops run
+    over the packed SMEM table via scalar broadcasts (the TPU version of the
+    reference's __local staging, raytrace_kernel.cl:890-907).
+
+    For small sphere counts the loops carry the winner's fields directly
+    (13-carry running select).  When a VMEM value table is provided and the
+    count exceeds the unroll threshold, the loops carry only (min_t, index)
+    and the winner's fields are gathered afterwards with a one-hot matmul —
+    ~2.5x less VPU work per sphere iteration, with the gather on the MXU.
+    Both forms produce identical values (same running-min, same fields)."""
+
+    def __init__(self, scene, n_spheres, vals=None):
         self.scene = scene
         self.n = n_spheres
+        self.vals = vals
+
+    def _use_gather(self):
+        return self.vals is not None and self.n > UNROLL_SPHERES
 
     def closest_hit(self, ox, oy, oz, dx, dy, dz):
-        return _closest_hit(self.scene, self.n, ox, oy, oz, dx, dy, dz)
+        if not self._use_gather():
+            return _closest_hit(self.scene, self.n, ox, oy, oz, dx, dy, dz)
+        min_t, idx = _closest_hit_idx(self.scene, self.n,
+                                      ox, oy, oz, dx, dy, dz)
+        found = idx >= 0
+        fields = _gather_cols(self.vals, idx)
+        cx, cy, cz = fields[_S_PX], fields[_S_PY], fields[_S_PZ]
+        hx = ox + min_t * dx
+        hy = oy + min_t * dy
+        hz = oz + min_t * dz
+        nx, ny, nz = hx - cx, hy - cy, hz - cz
+        n2 = nx * nx + ny * ny + nz * nz
+        inv = jax.lax.rsqrt(jnp.where(n2 == 0, f32(1.0), n2))
+        return dict(t=min_t, found=found, hx=hx, hy=hy, hz=hz,
+                    nx=nx * inv, ny=ny * inv, nz=nz * inv,
+                    mr=fields[_S_MR], mg=fields[_S_MG], mb=fields[_S_MB],
+                    gr=fields[_S_GR], gg=fields[_S_GG], gb=fields[_S_GB],
+                    op=fields[_S_OP], ior=fields[_S_IOR])
 
     def shadow_blocked(self, px, py, pz, lx, ly, lz, gap):
         return _shadow_blocked(self.scene, self.n, px, py, pz, lx, ly, lz,
                                gap)
 
     def primary_container(self, px, py, pz):
-        return _primary_container(self.scene, self.n, px, py, pz)
+        if not self._use_gather():
+            return _primary_container(self.scene, self.n, px, py, pz)
+        idx = _container_idx(self.scene, self.n, px, py, pz)
+        fields = _gather_cols(self.vals, idx)
+        got = idx >= 0
+        ior = jnp.where(got, fields[_S_IOR], f32(1.0))
+        return (got, fields[_S_MR], fields[_S_MG], fields[_S_MB], ior,
+                fields[_S_OP])
 
 
 def _gather_cols(table_vals, idx):
@@ -281,28 +365,16 @@ class _VjpScene:
         sg = jax.lax.stop_gradient
         sox, soy, soz = sg(ox), sg(oy), sg(oz)
         sdx, sdy, sdz = sg(dx), sg(dy), sg(dz)
-        a_s = sdx * sdx + sdy * sdy + sdz * sdz
-        scene = self.scene
-
-        def body(i, carry):
-            min_t, idx = carry
-            t, ok = _ray_sphere_t(sox, soy, soz, sdx, sdy, sdz, a_s,
-                                  scene[_S_PX, i], scene[_S_PY, i],
-                                  scene[_S_PZ, i], scene[_S_RAD, i])
-            better = ok & (t < min_t)
-            return (jnp.where(better, t, min_t),
-                    jnp.where(better, i, idx))
-
-        big = jnp.full(ox.shape, _MAX_DIST)
-        neg = jnp.full(ox.shape, -1, jnp.int32)
-        _, idx = _sphere_loop(self.n, body, (big, neg))
+        _, idx = _closest_hit_idx(self.scene, self.n,
+                                  sox, soy, soz, sdx, sdy, sdz)
         found = idx >= 0
 
         fields = _gather_cols(self.vals, idx)
         cx, cy, cz, rad = fields[_S_PX], fields[_S_PY], fields[_S_PZ], \
             fields[_S_RAD]
         a = dx * dx + dy * dy + dz * dz
-        t_w, _ = _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, cx, cy, cz, rad)
+        t_w, _ = _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, _inv2a(a),
+                               cx, cy, cz, rad)
         min_t = jnp.where(found, t_w, _MAX_DIST)
 
         hx = ox + min_t * dx
@@ -326,19 +398,7 @@ class _VjpScene:
 
     def primary_container(self, px, py, pz):
         sg = jax.lax.stop_gradient
-        spx, spy, spz = sg(px), sg(py), sg(pz)
-        scene = self.scene
-
-        def body(i, idx):
-            ex = spx - scene[_S_PX, i]
-            ey = spy - scene[_S_PY, i]
-            ez = spz - scene[_S_PZ, i]
-            r = scene[_S_RAD, i] + _EPS_CONTAIN
-            inside = (ex * ex + ey * ey + ez * ez <= r * r) & (idx < 0)
-            return jnp.where(inside, i, idx)
-
-        neg = jnp.full(px.shape, -1, jnp.int32)
-        idx = _sphere_loop(self.n, body, neg)
+        idx = _container_idx(self.scene, self.n, sg(px), sg(py), sg(pz))
         fields = _gather_cols(self.vals, idx)
         got = idx >= 0
         # Non-contained lanes mirror _primary_container's init (ior=1).
@@ -503,56 +563,60 @@ def _trace_tree(scn, lights, bg, n_lights, max_depth,
              zero + bg["matte_b"], zero + bg["ior"],
              zero + bg["opacity"])
 
-    acc_r, acc_g, acc_b = zero, zero, zero
+    # skip_dead_shading stays off: the nested liveness cond around the
+    # shadow loops blew Mosaic compile times by >10x when tried; the chunked
+    # early exit below already skips dead row-chunks wholesale.
+    def compute(st, spawn):
+        (er, eg, eb), children = _trace_level(
+            scn, lights, n_lights, bg, st, spawn=spawn)
+        return (er, eg, eb), (children if spawn else ())
+
+    if remat:
+        compute = jax.checkpoint(compute)
+
+    def dead(st, spawn):
+        z = jnp.zeros_like(st[6])
+        return ((z, z, z),
+                tuple(jnp.concatenate([s, s], axis=0)
+                      for s in st) if spawn else ())
+
+    def guarded(st, spawn):
+        ir, ig, ib = st[6], st[7], st[8]
+        alive = jnp.max(jnp.maximum(ir, jnp.maximum(ig, ib))) > 0
+        return jax.lax.cond(alive,
+                            lambda s: compute(s, spawn),
+                            lambda s: dead(s, spawn), st)
+
+    def fold(acc3, em3):
+        out = []
+        for a, e in zip(acc3, em3):
+            blocks = e.shape[0] // rows
+            out.append(a + e.reshape(blocks, rows, lanes).sum(axis=0))
+        return tuple(out)
+
+    acc = (zero, zero, zero)
     for level in range(max_depth + 1):
         spawn = level < max_depth
-
-        def compute(state=state, spawn=spawn):
-            # skip_dead_shading stays off: the nested liveness cond around
-            # the shadow loops blew Mosaic compile times by >10x when tried;
-            # the whole-level early exit below already skips dead tiles.
-            (er, eg, eb), children = _trace_level(
-                scn, lights, n_lights, bg, state, spawn=spawn)
-            return (er, eg, eb), (children if spawn else ())
-
-        if remat:
-            compute = jax.checkpoint(compute)
-
         rows_cur = state[0].shape[0]
         if not spawn and rows_cur > 4 * TILE_ROWS * 8:
             # The deepest level is the widest and spawns nothing: process it
             # in sequential row chunks so its intersection/shading temps
             # don't blow VMEM at depth 6 (512 sublanes otherwise).
             chunk = 4 * TILE_ROWS * 8
-            parts = []
             for c0 in range(0, rows_cur, chunk):
-                sub = tuple(s[c0:c0 + chunk] for s in state)
-                (er_c, eg_c, eb_c), _ = _trace_level(
-                    scn, lights, n_lights, bg, sub, spawn=False)
-                parts.append((er_c, eg_c, eb_c))
-            emissions = tuple(jnp.concatenate([p[k] for p in parts], axis=0)
-                              for k in range(3))
-            children = ()
-        elif level == 0 or not early_exit:
-            emissions, children = compute()
+                sub = tuple(x[c0:c0 + chunk] for x in state)
+                em_c, _ = (guarded(sub, False) if early_exit
+                           else compute(sub, False))
+                acc = fold(acc, em_c)
+            state = ()
+            continue
+        if level == 0 or not early_exit:
+            emissions, children = compute(state, spawn)
         else:
-            ir, ig, ib = state[6], state[7], state[8]
-            alive = jnp.max(jnp.maximum(ir, jnp.maximum(ig, ib))) > 0
-
-            def dead(state=state, spawn=spawn):
-                z = jnp.zeros_like(state[6])
-                return ((z, z, z),
-                        tuple(jnp.concatenate([s, s], axis=0)
-                              for s in state) if spawn else ())
-
-            emissions, children = jax.lax.cond(alive, compute, dead)
-        er, eg, eb = emissions
-        blocks = 2 ** level
-        acc_r = acc_r + er.reshape(blocks, rows, lanes).sum(axis=0)
-        acc_g = acc_g + eg.reshape(blocks, rows, lanes).sum(axis=0)
-        acc_b = acc_b + eb.reshape(blocks, rows, lanes).sum(axis=0)
+            emissions, children = guarded(state, spawn)
+        acc = fold(acc, emissions)
         state = children
-    return acc_r, acc_g, acc_b
+    return acc
 
 
 def _camera_dirs(cfg: RenderConfig, gid, si, sj):
@@ -580,10 +644,12 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
     w = cfg.width
     h = cfg.height
 
-    def kernel(scene_ref, lights_ref, bg_ref, offset_ref, out_ref):
+    def kernel(scene_ref, scene_vmem_ref, lights_ref, bg_ref, offset_ref,
+               out_ref):
         bg = dict(matte_r=bg_ref[0, 0], matte_g=bg_ref[1, 0],
                   matte_b=bg_ref[2, 0], ior=bg_ref[3, 0],
                   opacity=bg_ref[4, 0])
+        vals = (scene_vmem_ref[:] if n_spheres > UNROLL_SPHERES else None)
         tile = pl.program_id(0)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
@@ -602,8 +668,8 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
             sj = s % alias
             dx, dy, dz = _camera_dirs(cfg, gid, si, sj)
             sr, sg, sb = _trace_tree(
-                _SmemScene(scene_ref, n_spheres), lights_ref, bg, n_lights,
-                cfg.max_depth, dx, dy, dz, early_exit=True)
+                _SmemScene(scene_ref, n_spheres, vals), lights_ref, bg,
+                n_lights, cfg.max_depth, dx, dy, dz, early_exit=True)
             return acc_r + sr, acc_g + sg, acc_b + sb
 
         zeros3 = (jnp.zeros((TILE_ROWS, LANES), f32),
@@ -654,7 +720,8 @@ def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
             # trees (depth 6) need more for the widest level's temporaries.
             vmem_limit_bytes=127 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # selection loops
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gather value table
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -665,7 +732,7 @@ def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((3, tiles * TILE_ROWS, LANES),
                                        jnp.float32),
         interpret=interpret,
-    )(scene_tbl, lights_tbl, bg_tbl, offset_tbl)
+    )(scene_tbl, scene_tbl, lights_tbl, bg_tbl, offset_tbl)
     # (3, rows, lanes) -> (count, 3)
     return out.reshape(3, -1).T[:count]
 

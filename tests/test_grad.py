@@ -102,7 +102,7 @@ def test_sharded_pallas_grad_matches_single_device():
     l1, g1 = loss_and_grad(scene, cfg, target)
     l2, g2 = loss_and_grad_sharded(scene, cfg, target, mesh,
                                    backend="pallas")
-    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
