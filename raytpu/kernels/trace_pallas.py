@@ -324,14 +324,30 @@ class _SmemScene:
                 fields[_S_OP])
 
 
+# Ray-chunk bound for one gather's one-hot table: (N, 4096) f32 at N=256 is
+# 4 MB — wide bounce levels (512 rows at depth 6) would otherwise build
+# 32 MB one-hots, which blow scoped VMEM and stall the Mosaic compiler.
+_GATHER_CHUNK_ROWS = 32
+
+
 def _gather_cols(table_vals, idx):
     """Differentiable per-ray gather of columns from a (rows, N) value
     table via a one-hot matmul — the TPU-idiomatic gather (MXU does the
     work, and its transpose is just the mirrored matmul, so jax.vjp needs
-    no scatter or loop rules).  idx == -1 gathers exact zeros.
+    no scatter or loop rules).  idx == -1 gathers exact zeros.  Wide ray
+    blocks are gathered in row chunks to bound the one-hot table.
 
     idx: (R, L) int32 -> returns (rows, R, L) float32.
     """
+    r = idx.shape[0]
+    if r <= _GATHER_CHUNK_ROWS:
+        return _gather_cols_chunk(table_vals, idx)
+    parts = [_gather_cols_chunk(table_vals, idx[c0:c0 + _GATHER_CHUNK_ROWS])
+             for c0 in range(0, r, _GATHER_CHUNK_ROWS)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _gather_cols_chunk(table_vals, idx):
     rows, n = table_vals.shape
     r, lanes = idx.shape
     flat = idx.reshape(1, r * lanes)
