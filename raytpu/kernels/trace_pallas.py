@@ -172,17 +172,42 @@ def _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz):
 
 def _shadow_blocked(scene, n_spheres, px, py, pz, lx, ly, lz, gap):
     """hasClearLineOfSight (raytracer.h:272-309), inverted: any sphere with a
-    root t in (1e-5, 1000) and t^2 < |light - point|^2 blocks."""
+    root t in (1e-5, 1000) and t^2 < |light - point|^2 blocks.
+
+    Evaluated root-free: with a unit shadow direction and C =
+    min(sqrt(gap), 1000), "smallest root > eps lies below C" is exactly
+    "the upward parabola q(t) = a t^2 + b t + c has a root in (eps, C)",
+    decidable from endpoint signs plus a vertex-in-interval test —
+    (q(eps) < 0) XOR (q(C) < 0), or both positive with a real radicand and
+    eps < -b/2a < C (division-free as 2a*eps < -b < 2a*C, a > 0).  One
+    sqrt per (ray, light) instead of one per (ray, light, sphere); agrees
+    with the root form except at ~1-ulp interval boundaries (the same
+    measure-zero class as the FMA-contraction noise the kernel-vs-jnp
+    tolerances already absorb)."""
     inv = jax.lax.rsqrt(jnp.where(gap == 0, f32(1.0), gap))
     dx, dy, dz = (lx - px) * inv, (ly - py) * inv, (lz - pz) * inv
     a = dx * dx + dy * dy + dz * dz
-    inv2a = _inv2a(a)
+    cc = jnp.minimum(jnp.sqrt(gap), _MAX_DIST)
+    c2 = cc * cc
+    two_a_eps = f32(2.0) * a * _EPS_RAY
+    two_a_c = f32(2.0) * a * cc
 
     def body(i, blocked):
-        t, ok = _ray_sphere_t(px, py, pz, dx, dy, dz, a, inv2a,
-                              scene[_S_PX, i], scene[_S_PY, i],
-                              scene[_S_PZ, i], scene[_S_RAD, i])
-        hit = ok & (t < _MAX_DIST) & (t * t < gap)
+        ex = px - scene[_S_PX, i]
+        ey = py - scene[_S_PY, i]
+        ez = pz - scene[_S_PZ, i]
+        rad = scene[_S_RAD, i]
+        b = f32(2.0) * (dx * ex + dy * ey + dz * ez)
+        c = (ex * ex + ey * ey + ez * ez) - rad * rad
+        q_eps = (a * _EPS_RAY + b) * _EPS_RAY + c
+        q_c = a * c2 + b * cc + c
+        neg_eps = q_eps < 0
+        neg_c = q_c < 0
+        radicand = b * b - f32(4.0) * a * c
+        mb = -b
+        vertex_in = (mb > two_a_eps) & (mb < two_a_c)
+        hit = (neg_eps != neg_c) | (~neg_eps & ~neg_c & (radicand >= 0)
+                                    & vertex_in)
         return jnp.where(hit, f32(1.0), blocked)
 
     mask = _sphere_loop(n_spheres, body, jnp.zeros(px.shape, f32))

@@ -34,8 +34,9 @@ V5E_VPU_FP32_FLOPS = 8 * 128 * 4 * 940e6  # ~3.85 Tflop/s
 
 
 def node_flops(n_spheres: int, n_lights: int) -> float:
-    """Approximate VPU flops per bounce-tree node per ray."""
-    return (35 + 22 * n_lights + 12) * n_spheres + 160
+    """Approximate VPU flops per bounce-tree node per ray (closest-hit
+    quadratic + selects; root-free sign-test shadow; containment)."""
+    return (35 + 18 * n_lights + 12) * n_spheres + 160
 
 
 def tree_flops(cfg, n_spheres: int, n_lights: int) -> float:
