@@ -66,6 +66,10 @@ _TOL = np.float32(1e-3)
 
 f32 = jnp.float32
 
+# Scoped-VMEM ceiling for both kernels (~physical on v5e; Mosaic's 16M
+# default is conservative for deep bounce trees).
+VMEM_LIMIT_BYTES = 127 * 1024 * 1024
+
 
 def _sqrt_pos(x):
     """sqrt(x) clamped at 0, with the double-where so the backward kernel's
@@ -759,7 +763,7 @@ def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
         compiler_params=pltpu.CompilerParams(
             # Mosaic's default 16M scoped-vmem budget is conservative; deep
             # trees (depth 6) need more for the widest level's temporaries.
-            vmem_limit_bytes=127 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # selection loops
             pl.BlockSpec(memory_space=pltpu.VMEM),   # gather value table
@@ -1019,7 +1023,7 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
             # The reverse sweep's per-level AD residuals exceed Mosaic's
             # default 16M scoped-vmem budget at depth >= 5; v5e has 128M
             # physical VMEM, so raise the ceiling for this kernel.
-            vmem_limit_bytes=127 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scene: selection loops
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scene: vjp value table
