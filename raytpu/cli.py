@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "default float matches the GPU golden")
     p.add_argument("--time", action="store_true", dest="timeit",
                    help="print timing/Mrays/s stats as JSON")
-    p.add_argument("--backend", choices=["auto", "jnp", "pallas"],
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas", "wavefront"],
                    default="auto",
                    help="compute path: fused Pallas TPU kernel or the "
                         "XLA-fused jnp tracer (auto: pallas on TPU)")

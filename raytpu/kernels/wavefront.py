@@ -1,0 +1,301 @@
+"""Wavefront Pallas tracer: per-level kernels + sorted ray compaction.
+
+The fused kernel (trace_pallas.py) traces the whole 2^depth bounce tree per
+pixel tile, so every tile pays for its *widest* level even when most of the
+tree is dead — at BASELINE config 5 (256 spheres, 1920x1080, depth 6) only
+~2-5% of deep-level nodes are live, but row-granular liveness stays ~80%
+(BASELINE.md "acceleration-structure study"), so in-kernel skipping cannot
+recover the work.  This module restructures the trace as a *wavefront*
+(the standard GPU megakernel -> wavefront split, rebuilt TPU-first):
+
+  * one Pallas kernel per bounce level, operating on flat SoA ray-state
+    arrays (the same 14 fields `_trace_level` carries) tiled
+    (WF_BLOCK_ROWS, 128) rays per grid step;
+  * between levels, an XLA `lax.sort` co-sorts the child state by the key
+    (dead << 30) | pixel_id — dead children (whose intensity the level
+    kernel already zeroed *exactly*) sink to the tail, live children are
+    grouped by pixel.  Compaction is therefore EXACT: a dropped ray carries
+    intensity == 0 and could never have contributed (see `_trace_level`:
+    non-spawned, insignificant-reflection, and TIR children are all written
+    as exact zeros).  Sorting-by-pixel additionally restores the spatial
+    coherence the per-tile early-exit cond needs, and makes the emission
+    scatter-add run with sorted indices;
+  * each level's emissions scatter-add into a per-pixel accumulator
+    (the reference accumulates into a per-work-item colourSum register,
+    raytrace_kernel.cl:944-966; with rays re-ordered across pixels the
+    accumulator must be pixel-indexed instead);
+  * the frame is processed in fixed-capacity ray chunks under `lax.scan`,
+    so live memory is O(capacity), not O(2^depth x rays).
+
+Per-level ray capacity is static (XLA shapes): `capacity_factor` x chunk.
+While a level's children fit the capacity no sort runs at all (shallow
+depths are bit-identical to an unsorted wavefront); beyond it, live rays
+past capacity are dropped *counted* — `render_pixels_wavefront(...,
+return_info=True)` reports the total, and the default factor 2.0 measures
+zero drops on every BASELINE config (live rays per camera ray stay ~<= 1.2
+at depth 6 because the intensity cutoff kills children faster than the tree
+doubles).
+
+Forward-only: gradients go through the fused dense kernels or the jnp
+tracer (the wavefront's value is large-scene forward throughput).
+
+Reference map: the level body is rayTrace's stage machine
+(raytracer.h:410-636) — see trace_pallas._trace_level; the wavefront
+orchestration itself has no reference analogue (the OpenCL kernel is a
+megakernel), it is the TPU-shaped replacement for per-ray early exit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.config import RenderConfig
+from raytpu.kernels.trace_pallas import (
+    LANES,
+    UNROLL_SPHERES,
+    VMEM_LIMIT_BYTES,
+    _camera_dirs,
+    _scene_tables,
+    _SmemScene,
+    _trace_level,
+    f32,
+)
+
+# Rays per grid step = WF_BLOCK_ROWS * 128.  Bigger blocks amortise per-step
+# grid overhead; VMEM per step is 14 state + 28 child + ~3 emission blocks
+# (~1 MB at 32 rows) plus the large-N gather tables.
+WF_BLOCK_ROWS = 32
+WF_BLOCK = WF_BLOCK_ROWS * LANES
+
+N_STATE = 14  # field order matches _trace_level's state tuple
+
+_DEAD_BIT = np.int32(1 << 30)
+
+
+def _align_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _make_wf_kernel(n_spheres: int, n_lights: int, spawn: bool):
+    """One bounce level over a (WF_BLOCK_ROWS, 128) ray block: emissions
+    (+ children when `spawn`), with a whole-block liveness early exit
+    (exact — dead blocks would emit and spawn exact zeros anyway)."""
+
+    def kernel(scene_ref, scene_vmem_ref, lights_ref, bg_ref, *refs):
+        state_refs = refs[:N_STATE]
+        out_refs = refs[N_STATE:]
+        bg = dict(matte_r=bg_ref[0, 0], matte_g=bg_ref[1, 0],
+                  matte_b=bg_ref[2, 0], ior=bg_ref[3, 0],
+                  opacity=bg_ref[4, 0])
+        vals = (scene_vmem_ref[:] if n_spheres > UNROLL_SPHERES else None)
+        state = tuple(r[:] for r in state_refs)
+        scn = _SmemScene(scene_ref, n_spheres, vals)
+
+        ir, ig, ib = state[6], state[7], state[8]
+        alive = jnp.max(jnp.maximum(ir, jnp.maximum(ig, ib))) > 0
+
+        # Branch via pl.when writing the output refs directly: a
+        # result-carrying lax.cond here reaches Mosaic as a vector
+        # arith.select it cannot legalize (observed on TPU), while the
+        # ref-writing scf.if form lowers fine (same pattern as the backward
+        # kernel's first-tile accumulator init).  Exact: a dead block would
+        # emit and spawn exact zeros anyway.
+        @pl.when(alive)
+        def _():
+            (er, eg, eb), children = _trace_level(
+                scn, lights_ref, n_lights, bg, state, spawn=spawn)
+            outs = (er, eg, eb) + (children if spawn else ())
+            for ref, val in zip(out_refs, outs):
+                ref[:] = val
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            for ref in out_refs:
+                ref[:] = jnp.zeros(ref.shape, f32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_spheres", "n_lights", "spawn", "interpret"))
+def _wf_level_call(scene_tbl, lights_tbl, bg_tbl, state, n_spheres: int,
+                   n_lights: int, spawn: bool, interpret: bool):
+    """Run one level kernel over flat (R,) state fields; returns flat
+    ((er, eg, eb), children-or-None).  R must be a multiple of WF_BLOCK."""
+    r = state[0].shape[0]
+    rows = r // LANES
+    tiles = rows // WF_BLOCK_ROWS
+    state2d = tuple(s.reshape(rows, LANES) for s in state)
+
+    blk = lambda nr: pl.BlockSpec((nr, LANES), lambda t: (t, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM),
+         pl.BlockSpec(memory_space=pltpu.VMEM),
+         pl.BlockSpec(memory_space=pltpu.SMEM),
+         pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [blk(WF_BLOCK_ROWS)] * N_STATE)
+    out_specs = [blk(WF_BLOCK_ROWS)] * 3
+    out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
+    if spawn:
+        out_specs += [blk(2 * WF_BLOCK_ROWS)] * N_STATE
+        out_shape += [jax.ShapeDtypeStruct((2 * rows, LANES),
+                                           jnp.float32)] * N_STATE
+
+    outs = pl.pallas_call(
+        _make_wf_kernel(n_spheres, n_lights, spawn),
+        grid=(tiles,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(scene_tbl, scene_tbl, lights_tbl, bg_tbl, *state2d)
+
+    em = tuple(o.reshape(-1) for o in outs[:3])
+    if not spawn:
+        return em, None
+    # Child flat layout per tile: [refraction block | reflection block].
+    children = tuple(o.reshape(-1) for o in outs[3:])
+    return em, children
+
+
+def _dup_tilewise(pid, tiles):
+    """Map per-ray metadata onto the children's per-tile
+    [refraction | reflection] layout."""
+    p = pid.reshape(tiles, WF_BLOCK)
+    return jnp.concatenate([p, p], axis=1).reshape(-1)
+
+
+def _compact(children, pid, cap: int):
+    """Sort children by (dead, pixel) and keep the first `cap`.
+
+    Dead rays (intensity exactly zero — see module docstring for why that
+    mask is exact) sink to the tail; live rays group by pixel, keeping the
+    scatter indices sorted and live tiles spatially coherent.  Returns
+    (state, pid, n_dropped_live)."""
+    ir, ig, ib = children[6], children[7], children[8]
+    alive = (ir != 0) | (ig != 0) | (ib != 0)
+    key = jnp.where(alive, jnp.int32(0), _DEAD_BIT) | pid
+    out = jax.lax.sort((key,) + children + (pid,), num_keys=1,
+                       is_stable=False)
+    state = tuple(o[:cap] for o in out[1:1 + N_STATE])
+    new_pid = out[-1][:cap]
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    dropped = jnp.maximum(n_alive - jnp.int32(cap), 0)
+    # Dead entries inside the kept prefix: clamp their pid to the last pixel
+    # so the kept pid sequence stays sorted for the scatter (their emissions
+    # and intensities are exact zeros, so the target pixel is irrelevant).
+    kept_key = out[0][:cap]
+    kept_alive = kept_key < _DEAD_BIT
+    new_pid = jnp.where(kept_alive, new_pid, jnp.int32(0x3FFFFFFF))
+    return state, new_pid, dropped
+
+
+def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool):
+    """acc[c] += em[c] at pid, per colour channel."""
+    safe = jnp.minimum(pid, jnp.int32(npix - 1))
+    return tuple(
+        a.at[safe].add(e, indices_are_sorted=sorted_ids)
+        for a, e in zip(acc, em))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "chunk_rays", "capacity_factor", "interpret"))
+def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
+                           capacity_factor: int, interpret: bool):
+    n_spheres = scene.spheres.pos.shape[0]
+    n_lights = scene.lights.pos.shape[0]
+    scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
+    bgv = bg_tbl[:, 0]
+
+    npix = cfg.num_pixels
+    if npix >= int(_DEAD_BIT):
+        raise ValueError("wavefront sort key packs pixel ids into 30 bits")
+    total = npix * cfg.samples_per_pixel
+    chunk = _align_up(min(chunk_rays, total), WF_BLOCK)
+    cap = _align_up(capacity_factor * chunk, WF_BLOCK)
+    n_chunks = -(-total // chunk)
+
+    def trace_chunk(carry, start):
+        acc, dropped = carry
+        ids = start + jnp.arange(chunk, dtype=jnp.int32)
+        in_range = ids < total
+        ids = jnp.minimum(ids, total - 1)
+        sample = ids // npix
+        pid = ids % npix
+        si = sample // cfg.alias_factor
+        sj = sample % cfg.alias_factor
+        dx, dy, dz = _camera_dirs(cfg, pid, si, sj)
+        zero = jnp.zeros_like(dx)
+        one = jnp.where(in_range, f32(1.0), f32(0.0))
+        state = (zero, zero, zero, dx, dy, dz, one, one, one,
+                 zero + bgv[0], zero + bgv[1], zero + bgv[2],
+                 zero + bgv[3], zero + bgv[4])
+
+        # pid is sorted only when it came out of _compact: level-0 pids
+        # wrap at sample boundaries and the no-sort branch interleaves
+        # [refraction | reflection] blocks tile-wise.
+        pid_sorted = False
+        for level in range(cfg.max_depth + 1):
+            spawn = level < cfg.max_depth
+            em, children = _wf_level_call(
+                scene_tbl, lights_tbl, bg_tbl, state, n_spheres, n_lights,
+                spawn, interpret)
+            acc = _scatter_emissions(acc, em, pid, npix,
+                                     sorted_ids=pid_sorted)
+            if not spawn:
+                break
+            r = state[0].shape[0]
+            pid2 = _dup_tilewise(pid, r // WF_BLOCK)
+            if 2 * r <= cap:
+                state, pid = children, pid2      # fits: no sort, no drops
+                pid_sorted = False
+            else:
+                state, pid, ndrop = _compact(children, pid2, cap)
+                pid_sorted = True
+                dropped = dropped + ndrop
+        return (acc, dropped), None
+
+    acc0 = tuple(jnp.zeros((npix,), jnp.float32) for _ in range(3))
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (acc, dropped), _ = jax.lax.scan(trace_chunk,
+                                     (acc0, jnp.int32(0)), starts)
+    weight = f32(1.0 / cfg.samples_per_pixel)
+    img = jnp.stack(acc, axis=-1) * weight
+    return img, dropped
+
+
+def render_pixels_wavefront(scene, cfg: RenderConfig,
+                            chunk_rays: int = 1 << 20,
+                            capacity_factor: int = 2,
+                            interpret: bool = False,
+                            return_info: bool = False):
+    """Full-frame wavefront render -> (num_pixels, 3) linear colour.
+
+    `chunk_rays` bounds live memory (camera rays per scan step);
+    `capacity_factor` x chunk_rays is the per-level live-ray capacity.
+    With `return_info`, also returns {'dropped': int} — live rays past
+    capacity (0 on every BASELINE config at the default factor)."""
+    img, dropped = _render_wavefront_impl(
+        scene, cfg, chunk_rays=chunk_rays, capacity_factor=capacity_factor,
+        interpret=interpret)
+    if return_info:
+        return img, dict(dropped=int(dropped))
+    return img
+
+
+def render_image_wavefront(scene, cfg: RenderConfig, **kw):
+    """(H, W, 3) frame via the wavefront tracer."""
+    out = render_pixels_wavefront(scene, cfg, **kw)
+    if isinstance(out, tuple):
+        img, info = out
+        return img.reshape(cfg.height, cfg.width, 3), info
+    return out.reshape(cfg.height, cfg.width, 3)

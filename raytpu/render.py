@@ -11,6 +11,9 @@ Two compute backends share one semantics contract:
   * "jnp"    — the XLA-fused tracer (raytpu.trace); runs anywhere, is the
                differentiable path.
   * "pallas" — the fused TPU kernel (raytpu.kernels); the fast forward path.
+  * "wavefront" — per-level kernels + sorted ray compaction
+               (raytpu.kernels.wavefront); the large-scene/deep-depth
+               forward path (single-device only).
   * "auto"   — pallas on TPU, jnp elsewhere.
 """
 
@@ -31,20 +34,25 @@ from raytpu.trace import render_image, render_pixels
 def resolve_backend(backend: str = "auto") -> str:
     if backend == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend not in ("jnp", "pallas"):
+    if backend not in ("jnp", "pallas", "wavefront"):
         raise ValueError(f"unknown backend {backend!r}")
     return backend
 
 
 def render_single(scene, cfg: RenderConfig, backend: str = "auto"):
     """One-device full-frame render -> (H, W, 3)."""
-    if resolve_backend(backend) == "pallas":
+    backend = resolve_backend(backend)
+    # Off-TPU an explicitly requested kernel backend runs the Pallas
+    # interpreter (the sanitizer mode) rather than failing to lower.
+    interpret = jax.default_backend() != "tpu"
+    if backend == "pallas":
         from raytpu.kernels import render_image_pallas
 
-        # Off-TPU an explicitly requested pallas backend runs the kernel
-        # interpreter (the sanitizer mode) rather than failing to lower.
-        interpret = jax.default_backend() != "tpu"
         return render_image_pallas(scene, cfg, interpret=interpret)
+    if backend == "wavefront":
+        from raytpu.kernels import render_image_wavefront
+
+        return render_image_wavefront(scene, cfg, interpret=interpret)
     return render_image(scene, cfg)
 
 
@@ -81,6 +89,10 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto"):
     if mesh is None:
         mesh = make_mesh()
     backend = resolve_backend(backend)
+    if backend == "wavefront":
+        raise ValueError(
+            "the wavefront backend is single-device; shard with "
+            "backend='pallas' or 'jnp'")
     interpret = jax.default_backend() != "tpu"
     n = int(mesh.devices.size)
     p = cfg.num_pixels

@@ -1,0 +1,106 @@
+"""Wavefront tracer vs the dense Pallas kernel (both in interpret mode).
+
+The wavefront level body IS trace_pallas._trace_level, but the two paths
+are separately compiled programs with different shapes and fusion
+contexts, so XLA's FMA-contraction choices differ and near-threshold
+branches (tangent hits, significance cutoffs) occasionally flip with
+full-magnitude per-pixel effect — measured at ~0.06% of pixels on the
+default scene at 80x60, where the flipped pixels match the jnp tracer,
+not the dense kernel.  The contract is therefore the repo's standard
+allclose-with-few-outliers (same as test_pallas._compare), plus a strict
+zero-drop check.  The drop counter is exercised with a scene engineered
+to overflow the per-level capacity.
+"""
+
+import numpy as np
+import pytest
+
+import raytpu
+from raytpu.config import RenderConfig
+from raytpu.kernels.trace_pallas import render_pixels_pallas
+from raytpu.kernels.wavefront import render_pixels_wavefront
+from raytpu.render import render_single, render_sharded
+from raytpu.scene import build_scene, default_scene, make_material, random_scene
+
+
+def _assert_matches_dense(scene, cfg, frac_tol=0.005, **wf_kw):
+    ref = np.asarray(render_pixels_pallas(scene, cfg, interpret=True))
+    out, info = render_pixels_wavefront(scene, cfg, interpret=True,
+                                        return_info=True, **wf_kw)
+    out = np.asarray(out)
+    assert info["dropped"] == 0
+    assert np.isfinite(out).all()
+    scale = max(ref.max(), 1e-30)
+    d = np.abs(out - ref)
+    outliers = (d.max(axis=-1) > 1e-3 * scale).mean()
+    assert outliers <= frac_tol, f"outlier fraction {outliers}"
+    assert d.mean() < 1e-4 * scale, f"mean abs diff {d.mean()} vs {scale}"
+
+
+def test_wavefront_matches_dense_multichunk():
+    # chunk smaller than the frame: exercises the scan over chunks AND the
+    # sort-compaction path (children overflow capacity from level 1 on).
+    cfg = RenderConfig(width=64, height=48, max_depth=3, alias_factor=2)
+    _assert_matches_dense(default_scene(), cfg, chunk_rays=4096,
+                          capacity_factor=2)
+
+
+def test_wavefront_matches_dense_large_n():
+    # N > UNROLL_SPHERES: the level kernel takes the VMEM gather-table path.
+    cfg = RenderConfig(width=64, height=48, max_depth=4, alias_factor=1)
+    _assert_matches_dense(random_scene(24, num_lights=2), cfg,
+                          chunk_rays=4096, capacity_factor=2)
+
+
+def test_wavefront_single_chunk_no_sort():
+    # Whole frame in one chunk with ample capacity: the no-sort fast path.
+    cfg = RenderConfig(width=32, height=24, max_depth=2, alias_factor=1)
+    _assert_matches_dense(default_scene(), cfg, chunk_rays=1 << 20,
+                          capacity_factor=1 << (2 + 1))
+
+
+def test_wavefront_branch_flip_contract():
+    # 80x60 at the default alias 3: the resolution where the dense kernel
+    # flips ~3 near-threshold pixels against the jnp tracer while the
+    # wavefront sides with the tracer (see module docstring) — pins the
+    # outlier contract at a frame where the flips actually occur.
+    cfg = RenderConfig(width=80, height=60, max_depth=2)
+    _assert_matches_dense(default_scene(), cfg, chunk_rays=1 << 20)
+
+
+def test_wavefront_counts_dropped_rays():
+    # A frame-filling transparent sphere (it subtends more than the very
+    # wide camera frustum: corner-ray tan ~3.06, sphere tan ~7) spawns two
+    # live children per camera ray; with capacity_factor=1 the per-level
+    # capacity equals the chunk, so half the live children must be dropped
+    # — and counted.  chunk_rays aligns up to WF_BLOCK (4096), hence the
+    # 128x64 frame (8192 rays = 2 chunks).
+    mat = make_material(0.3, (0.2, 0.4, 0.6), (0.9, 0.9, 0.9),
+                        opacity=0.0, ior=1.5)
+    scene = build_scene(
+        sphere_specs=[((0.0, 0.0, -10.0), 9.9, mat)],
+        light_specs=[((10.0, 30.0, 10.0), (0.5, 0.5, 0.5))],
+    )
+    cfg = RenderConfig(width=128, height=64, max_depth=2, alias_factor=1)
+    _, info = render_pixels_wavefront(scene, cfg, chunk_rays=256,
+                                      capacity_factor=1, interpret=True,
+                                      return_info=True)
+    assert info["dropped"] > 0
+
+
+def test_render_single_wavefront_backend():
+    cfg = RenderConfig(width=32, height=24, max_depth=2, alias_factor=1)
+    scene = default_scene()
+    img = np.asarray(render_single(scene, cfg, backend="wavefront"))
+    ref = np.asarray(render_single(scene, cfg, backend="pallas"))
+    assert img.shape == (24, 32, 3)
+    scale = max(ref.max(), 1e-30)
+    d = np.abs(img - ref)
+    assert (d.max(axis=-1) > 1e-3 * scale).mean() <= 0.005
+    assert d.mean() < 1e-4 * scale
+
+
+def test_render_sharded_rejects_wavefront():
+    cfg = RenderConfig(width=32, height=24, max_depth=1, alias_factor=1)
+    with pytest.raises(ValueError, match="single-device"):
+        render_sharded(default_scene(), cfg, backend="wavefront")

@@ -92,7 +92,10 @@ def main():
                     help="random scene with N spheres (default: golden scene)")
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--k", type=int, default=5)
-    ap.add_argument("--backend", default="pallas", choices=["pallas", "jnp"])
+    ap.add_argument("--backend", default="pallas",
+                    choices=["pallas", "jnp", "wavefront"])
+    ap.add_argument("--chunk-rays", type=int, default=1 << 20,
+                    help="wavefront backend: camera rays per scan chunk")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +115,11 @@ def main():
         from raytpu.kernels.trace_pallas import render_pixels_pallas
         interpret = jax.default_backend() != "tpu"
         fn = lambda s: render_pixels_pallas(s, cfg, interpret=interpret)
+    elif args.backend == "wavefront":
+        from raytpu.kernels.wavefront import render_pixels_wavefront
+        interpret = jax.default_backend() != "tpu"
+        fn = lambda s: render_pixels_wavefront(
+            s, cfg, chunk_rays=args.chunk_rays, interpret=interpret)
     else:
         import jax.numpy as jnp
 
