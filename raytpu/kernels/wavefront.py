@@ -28,13 +28,14 @@ recover the work.  This module restructures the trace as a *wavefront*
     so live memory is O(capacity), not O(2^depth x rays).
 
 Per-level ray capacity is static (XLA shapes): `capacity_factor` x chunk.
-While a level's children fit the capacity no sort runs at all (shallow
-depths are bit-identical to an unsorted wavefront); beyond it, live rays
-past capacity are dropped *counted* — `render_pixels_wavefront(...,
-return_info=True)` reports the total, and the default factor 2.0 measures
-zero drops on every BASELINE config (live rays per camera ray stay ~<= 1.2
-at depth 6 because the intensity cutoff kills children faster than the tree
-doubles).
+By default every spawn level compacts (`eager_sort`), so whole dead kernel
+tiles early-exit even when the children fit capacity; with eager_sort off,
+under-capacity levels skip the sort entirely and are bit-identical to an
+unsorted wavefront.  Live rays past capacity are dropped *counted* —
+`render_pixels_wavefront(..., return_info=True)` reports the total, and
+the default factor 2.0 measures zero drops on every BASELINE config (live
+rays per camera ray stay ~<= 1.2 at depth 6 because the intensity cutoff
+kills children faster than the tree doubles).
 
 Forward-only: gradients go through the fused dense kernels or the jnp
 tracer (the wavefront's value is large-scene forward throughput).
@@ -180,37 +181,50 @@ def _compact(children, pid, cap: int):
     Dead rays (intensity exactly zero — see module docstring for why that
     mask is exact) sink to the tail; live rays group by pixel, keeping the
     scatter indices sorted and live tiles spatially coherent.  Returns
-    (state, pid, n_dropped_live)."""
+    (state, pid, n_dropped_live).
+
+    The permutation is applied as a 2-operand (key, iota) sort followed by
+    ONE wide AoS row gather of all 15 fields: a 16-operand co-sort costs
+    ~46 ms per 4M rays on v5e while (key, iota) sort + a (rays, 16) row
+    take is ~10x cheaper (tools/glue_bench.py).  pid rides along as a
+    bitcast float lane — pure data movement, so the bit pattern survives."""
     ir, ig, ib = children[6], children[7], children[8]
     alive = (ir != 0) | (ig != 0) | (ib != 0)
     key = jnp.where(alive, jnp.int32(0), _DEAD_BIT) | pid
-    out = jax.lax.sort((key,) + children + (pid,), num_keys=1,
-                       is_stable=False)
-    state = tuple(o[:cap] for o in out[1:1 + N_STATE])
-    new_pid = out[-1][:cap]
+    r = pid.shape[0]
+    iota = jax.lax.iota(jnp.int32, r)
+    kept_key, perm = jax.lax.sort((key, iota), num_keys=1, is_stable=False)
+    kept_key = kept_key[:cap]
+    perm = perm[:cap]
+    pid_f = jax.lax.bitcast_convert_type(pid, jnp.float32)
+    aos = jnp.stack(children + (pid_f,), axis=1)          # (r, 15)
+    picked = jnp.take(aos, perm, axis=0)                  # (cap, 15)
+    state = tuple(picked[:, i] for i in range(N_STATE))
+    new_pid = jax.lax.bitcast_convert_type(picked[:, N_STATE], jnp.int32)
     n_alive = jnp.sum(alive.astype(jnp.int32))
     dropped = jnp.maximum(n_alive - jnp.int32(cap), 0)
     # Dead entries inside the kept prefix: clamp their pid to the last pixel
     # so the kept pid sequence stays sorted for the scatter (their emissions
     # and intensities are exact zeros, so the target pixel is irrelevant).
-    kept_key = out[0][:cap]
     kept_alive = kept_key < _DEAD_BIT
     new_pid = jnp.where(kept_alive, new_pid, jnp.int32(0x3FFFFFFF))
     return state, new_pid, dropped
 
 
 def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool):
-    """acc[c] += em[c] at pid, per colour channel."""
+    """acc[pid] += (er, eg, eb) — ONE (rays, 3) scatter-add into the
+    (npix, 3) accumulator rather than three 1-D scatters (the scatter is
+    the single most expensive glue op; see tools/glue_bench.py)."""
     safe = jnp.minimum(pid, jnp.int32(npix - 1))
-    return tuple(
-        a.at[safe].add(e, indices_are_sorted=sorted_ids)
-        for a, e in zip(acc, em))
+    ev = jnp.stack(em, axis=1)
+    return acc.at[safe].add(ev, indices_are_sorted=sorted_ids)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "chunk_rays", "capacity_factor", "interpret"))
+    "cfg", "chunk_rays", "capacity_factor", "eager_sort", "interpret"))
 def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
-                           capacity_factor: int, interpret: bool):
+                           capacity_factor: int, eager_sort: bool,
+                           interpret: bool):
     n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
@@ -255,38 +269,43 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 break
             r = state[0].shape[0]
             pid2 = _dup_tilewise(pid, r // WF_BLOCK)
-            if 2 * r <= cap:
+            if 2 * r <= cap and not eager_sort:
                 state, pid = children, pid2      # fits: no sort, no drops
                 pid_sorted = False
             else:
-                state, pid, ndrop = _compact(children, pid2, cap)
+                keep = min(2 * r, cap)
+                state, pid, ndrop = _compact(children, pid2, keep)
                 pid_sorted = True
                 dropped = dropped + ndrop
         return (acc, dropped), None
 
-    acc0 = tuple(jnp.zeros((npix,), jnp.float32) for _ in range(3))
+    acc0 = jnp.zeros((npix, 3), jnp.float32)
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (acc, dropped), _ = jax.lax.scan(trace_chunk,
                                      (acc0, jnp.int32(0)), starts)
     weight = f32(1.0 / cfg.samples_per_pixel)
-    img = jnp.stack(acc, axis=-1) * weight
-    return img, dropped
+    return acc * weight, dropped
 
 
 def render_pixels_wavefront(scene, cfg: RenderConfig,
                             chunk_rays: int = 1 << 20,
                             capacity_factor: int = 2,
+                            eager_sort: bool = True,
                             interpret: bool = False,
                             return_info: bool = False):
     """Full-frame wavefront render -> (num_pixels, 3) linear colour.
 
     `chunk_rays` bounds live memory (camera rays per scan step);
     `capacity_factor` x chunk_rays is the per-level live-ray capacity.
-    With `return_info`, also returns {'dropped': int} — live rays past
-    capacity (0 on every BASELINE config at the default factor)."""
+    `eager_sort` compacts at EVERY spawn level (even when the children fit
+    capacity): the dead-last sort concentrates live rays so whole kernel
+    tiles early-exit; with it off, under-capacity levels skip the sort and
+    are bit-identical to an unsorted wavefront.  With `return_info`, also
+    returns {'dropped': int} — live rays past capacity (0 on every
+    BASELINE config at the default factor)."""
     img, dropped = _render_wavefront_impl(
         scene, cfg, chunk_rays=chunk_rays, capacity_factor=capacity_factor,
-        interpret=interpret)
+        eager_sort=eager_sort, interpret=interpret)
     if return_info:
         return img, dict(dropped=int(dropped))
     return img

@@ -53,10 +53,25 @@ def test_wavefront_matches_dense_large_n():
 
 
 def test_wavefront_single_chunk_no_sort():
-    # Whole frame in one chunk with ample capacity: the no-sort fast path.
+    # Whole frame in one chunk with ample capacity and eager_sort off: the
+    # no-sort path (bit-identical to an unsorted wavefront).
     cfg = RenderConfig(width=32, height=24, max_depth=2, alias_factor=1)
     _assert_matches_dense(default_scene(), cfg, chunk_rays=1 << 20,
-                          capacity_factor=1 << (2 + 1))
+                          capacity_factor=1 << (2 + 1), eager_sort=False)
+
+
+def test_wavefront_eager_sort_matches_no_sort():
+    # eager_sort only reorders rays between levels; emissions are summed
+    # per pixel either way, so the two modes agree to float-sum
+    # reassociation (the scatter adds in a different order).
+    cfg = RenderConfig(width=64, height=48, max_depth=3, alias_factor=1)
+    scene = default_scene()
+    a = np.asarray(render_pixels_wavefront(scene, cfg, interpret=True,
+                                           eager_sort=True))
+    b = np.asarray(render_pixels_wavefront(scene, cfg, interpret=True,
+                                           eager_sort=False))
+    scale = max(b.max(), 1e-30)
+    assert np.abs(a - b).max() < 1e-4 * scale
 
 
 def test_wavefront_branch_flip_contract():
