@@ -221,22 +221,29 @@ def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "chunk_rays", "capacity_factor", "eager_sort", "interpret"))
+    "cfg", "chunk_rays", "capacity_factor", "eager_sort", "interpret",
+    "count"))
 def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                            capacity_factor: int, eager_sort: bool,
-                           interpret: bool):
+                           interpret: bool, offset=0, count=None):
     n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
     bgv = bg_tbl[:, 0]
 
-    npix = cfg.num_pixels
+    # Pixel window [offset, offset + npix): the full frame by default, or
+    # one device's contiguous pixel shard (offset may be traced — it is
+    # the shard's first global pixel id inside shard_map).  All sorting
+    # and accumulation run on window-local pixel ids; only the camera
+    # needs the global id.
+    npix = cfg.num_pixels if count is None else count
     if npix >= int(_DEAD_BIT):
         raise ValueError("wavefront sort key packs pixel ids into 30 bits")
     total = npix * cfg.samples_per_pixel
     chunk = _align_up(min(chunk_rays, total), WF_BLOCK)
     cap = _align_up(capacity_factor * chunk, WF_BLOCK)
     n_chunks = -(-total // chunk)
+    offset = jnp.int32(offset)
 
     def trace_chunk(carry, start):
         acc, dropped = carry
@@ -247,7 +254,7 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
         pid = ids % npix
         si = sample // cfg.alias_factor
         sj = sample % cfg.alias_factor
-        dx, dy, dz = _camera_dirs(cfg, pid, si, sj)
+        dx, dy, dz = _camera_dirs(cfg, offset + pid, si, sj)
         zero = jnp.zeros_like(dx)
         one = jnp.where(in_range, f32(1.0), f32(0.0))
         state = (zero, zero, zero, dx, dy, dz, one, one, one,
@@ -292,20 +299,25 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
                             capacity_factor: int = 2,
                             eager_sort: bool = True,
                             interpret: bool = False,
-                            return_info: bool = False):
-    """Full-frame wavefront render -> (num_pixels, 3) linear colour.
+                            return_info: bool = False,
+                            offset=0, count=None):
+    """Wavefront render of pixels [offset, offset+count) -> (count, 3)
+    linear colour (the full frame by default).
 
     `chunk_rays` bounds live memory (camera rays per scan step);
     `capacity_factor` x chunk_rays is the per-level live-ray capacity.
     `eager_sort` compacts at EVERY spawn level (even when the children fit
     capacity): the dead-last sort concentrates live rays so whole kernel
     tiles early-exit; with it off, under-capacity levels skip the sort and
-    are bit-identical to an unsorted wavefront.  With `return_info`, also
-    returns {'dropped': int} — live rays past capacity (0 on every
-    BASELINE config at the default factor)."""
+    are bit-identical to an unsorted wavefront.  `offset`/`count` select a
+    contiguous pixel window — the per-shard form for render_sharded
+    (offset may be a traced scalar; count must be static).  With
+    `return_info`, also returns {'dropped': int} — live rays past
+    capacity (0 on every BASELINE config at the default factor)."""
     img, dropped = _render_wavefront_impl(
         scene, cfg, chunk_rays=chunk_rays, capacity_factor=capacity_factor,
-        eager_sort=eager_sort, interpret=interpret)
+        eager_sort=eager_sort, interpret=interpret, offset=offset,
+        count=count)
     if return_info:
         return img, dict(dropped=int(dropped))
     return img

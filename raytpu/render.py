@@ -13,7 +13,9 @@ Two compute backends share one semantics contract:
   * "pallas" — the fused TPU kernel (raytpu.kernels); the fast forward path.
   * "wavefront" — per-level kernels + sorted ray compaction
                (raytpu.kernels.wavefront); the large-scene/deep-depth
-               forward path (single-device only).
+               forward path (shards over the pixel axis like the others —
+               each device runs its own wavefront loop on its pixel
+               window, zero collectives).
   * "auto"   — pallas on TPU, jnp elsewhere.
 """
 
@@ -70,13 +72,18 @@ def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str,
             from raytpu.kernels import render_pixels_pallas
             return render_pixels_pallas(scene, cfg, interpret=interpret,
                                         offset=gid[0], count=gid.shape[0])
+        if backend == "wavefront":
+            from raytpu.kernels import render_pixels_wavefront
+            return render_pixels_wavefront(scene, cfg, interpret=interpret,
+                                           offset=gid[0],
+                                           count=gid.shape[0])
         return render_pixels(scene, cfg, gid)
 
     # check_vma=False: pallas_call outputs carry no varying-axis metadata,
     # which the default checker rejects; the jnp body is unaffected either
     # way (equality with the single-device render is pinned by tests).
     fn = jax.shard_map(body, mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)),
-                   out_specs=P(PIXEL_AXIS), check_vma=(backend != "pallas"))
+                   out_specs=P(PIXEL_AXIS), check_vma=(backend == "jnp"))
     return jax.jit(fn)
 
 
@@ -89,10 +96,6 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto"):
     if mesh is None:
         mesh = make_mesh()
     backend = resolve_backend(backend)
-    if backend == "wavefront":
-        raise ValueError(
-            "the wavefront backend is single-device; shard with "
-            "backend='pallas' or 'jnp'")
     interpret = jax.default_backend() != "tpu"
     n = int(mesh.devices.size)
     p = cfg.num_pixels
