@@ -183,41 +183,71 @@ def _compact(children, pid, cap: int):
     scatter indices sorted and live tiles spatially coherent.  Returns
     (state, pid, n_dropped_live).
 
-    The permutation is applied as a 2-operand (key, iota) sort followed by
-    ONE wide AoS row gather of all 15 fields: a 16-operand co-sort costs
-    ~46 ms per 4M rays on v5e while (key, iota) sort + a (rays, 16) row
-    take is ~10x cheaper (tools/glue_bench.py).  pid rides along as a
-    bitcast float lane — pure data movement, so the bit pattern survives."""
+    The permutation moves every field through the sort network itself (a
+    16-operand co-sort, ~46 ms per 4M rays on v5e).  That is the
+    TPU-shaped permute: every payload rides the sort's vector ops in
+    lockstep, all operands stay 1-D (lane-dense).  The tempting
+    alternative — sort (key, iota) cheaply, then apply the permutation
+    with one wide (rays, 16) AoS row gather — is a trap: TPU pads a
+    2-D f32 array's minor dim to 128 lanes, so the (4M, 15) AoS
+    materializes 2.1 GB and the full pipeline OOM-crashes the chip
+    (per-field 1-D takes avoid the padding but run at ~0.6 GB/s, worse
+    than the co-sort).  Measured in tools/glue_bench.py /
+    tools/probe_glue_crash.py."""
     ir, ig, ib = children[6], children[7], children[8]
     alive = (ir != 0) | (ig != 0) | (ib != 0)
     key = jnp.where(alive, jnp.int32(0), _DEAD_BIT) | pid
-    r = pid.shape[0]
-    iota = jax.lax.iota(jnp.int32, r)
-    kept_key, perm = jax.lax.sort((key, iota), num_keys=1, is_stable=False)
-    kept_key = kept_key[:cap]
-    perm = perm[:cap]
-    pid_f = jax.lax.bitcast_convert_type(pid, jnp.float32)
-    aos = jnp.stack(children + (pid_f,), axis=1)          # (r, 15)
-    picked = jnp.take(aos, perm, axis=0)                  # (cap, 15)
-    state = tuple(picked[:, i] for i in range(N_STATE))
-    new_pid = jax.lax.bitcast_convert_type(picked[:, N_STATE], jnp.int32)
+    out = jax.lax.sort((key,) + children + (pid,), num_keys=1,
+                       is_stable=False)
+    state = tuple(o[:cap] for o in out[1:1 + N_STATE])
+    new_pid = out[-1][:cap]
     n_alive = jnp.sum(alive.astype(jnp.int32))
     dropped = jnp.maximum(n_alive - jnp.int32(cap), 0)
     # Dead entries inside the kept prefix: clamp their pid to the last pixel
     # so the kept pid sequence stays sorted for the scatter (their emissions
     # and intensities are exact zeros, so the target pixel is irrelevant).
+    kept_key = out[0][:cap]
     kept_alive = kept_key < _DEAD_BIT
     new_pid = jnp.where(kept_alive, new_pid, jnp.int32(0x3FFFFFFF))
     return state, new_pid, dropped
 
 
-def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool):
-    """acc[pid] += (er, eg, eb) — ONE (rays, 3) scatter-add into the
-    (npix, 3) accumulator rather than three 1-D scatters (the scatter is
-    the single most expensive glue op; see tools/glue_bench.py)."""
+# Segments per scatter: each segment's scatter-add is skipped by a scalar
+# cond when every ray in it is dead (exact — dead emissions are 0.0).
+_SCATTER_SEGS = 4
+
+
+def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool,
+                       segmented: bool):
+    """acc[c][pid] += em[c], three 1-D scatter-adds ((npix, 3) would pad
+    its minor dim to 128 lanes — a 1 GB accumulator at 2M pixels).
+
+    With `segmented` (compacted levels: dead rays hold the tail), the ray
+    range is split into _SCATTER_SEGS cond-guarded segments, so the dead
+    tail's scatters are skipped wholesale — the scatter is the priciest
+    glue op (~18 ms per 2M rays per channel in situ) and at deep levels
+    most of the range is dead."""
     safe = jnp.minimum(pid, jnp.int32(npix - 1))
-    ev = jnp.stack(em, axis=1)
-    return acc.at[safe].add(ev, indices_are_sorted=sorted_ids)
+
+    def scat(acc, pid_seg, em_seg):
+        return tuple(
+            a.at[pid_seg].add(e, indices_are_sorted=sorted_ids)
+            for a, e in zip(acc, em_seg))
+
+    r = safe.shape[0]
+    if not segmented or r % _SCATTER_SEGS:
+        return scat(acc, safe, em)
+    seg = r // _SCATTER_SEGS
+    for s in range(_SCATTER_SEGS):
+        em_seg = tuple(e[s * seg:(s + 1) * seg] for e in em)
+        pid_seg = safe[s * seg:(s + 1) * seg]
+        any_live = jnp.max(jnp.abs(em_seg[0])
+                           + jnp.abs(em_seg[1])
+                           + jnp.abs(em_seg[2])) > 0
+        acc = jax.lax.cond(any_live,
+                           lambda a, p=pid_seg, e=em_seg: scat(a, p, e),
+                           lambda a: a, acc)
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -270,8 +300,11 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
             em, children = _wf_level_call(
                 scene_tbl, lights_tbl, bg_tbl, state, n_spheres, n_lights,
                 spawn, interpret)
+            # Post-compaction levels have dead rays grouped at the tail,
+            # so their emission scatters run cond-guarded per segment.
             acc = _scatter_emissions(acc, em, pid, npix,
-                                     sorted_ids=pid_sorted)
+                                     sorted_ids=pid_sorted,
+                                     segmented=pid_sorted)
             if not spawn:
                 break
             r = state[0].shape[0]
@@ -286,12 +319,12 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 dropped = dropped + ndrop
         return (acc, dropped), None
 
-    acc0 = jnp.zeros((npix, 3), jnp.float32)
+    acc0 = tuple(jnp.zeros((npix,), jnp.float32) for _ in range(3))
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (acc, dropped), _ = jax.lax.scan(trace_chunk,
                                      (acc0, jnp.int32(0)), starts)
     weight = f32(1.0 / cfg.samples_per_pixel)
-    return acc * weight, dropped
+    return jnp.stack(acc, axis=-1) * weight, dropped
 
 
 def render_pixels_wavefront(scene, cfg: RenderConfig,
