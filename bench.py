@@ -110,6 +110,28 @@ def main():
     except Exception:
         pass
 
+    # BASELINE config 5 (256 spheres, 1920x1080, depth 6) on the wavefront
+    # tracer — the large-scene path; round 1 faulted the chip here, the
+    # round-2 dense kernel took 44 s.  Warm wall time for one frame
+    # (~10 s device + the ~28 ms tunnel floor); skipped off-TPU or on
+    # compile failure.
+    config5_s = None
+    if jax.default_backend() == "tpu":
+        try:
+            from raytpu.scene import random_scene
+
+            from raytpu.kernels.wavefront import render_pixels_wavefront
+            c5 = RenderConfig(width=1920, height=1080, max_depth=6,
+                              alias_factor=3)
+            s5 = random_scene(256, seed=3)
+            fn5 = lambda: float(jnp.sum(render_pixels_wavefront(s5, c5)))
+            fn5()  # compile
+            t0 = time.perf_counter()
+            fn5()
+            config5_s = round(time.perf_counter() - t0, 2)
+        except Exception:
+            pass
+
     result = {
         "metric": "Mrays/s/chip fwd+bwd 640x480 depth-4",
         "value": round(fwd_bwd_mrays, 3),
@@ -123,6 +145,7 @@ def main():
         "fwd_jnp_mrays_per_s": (round(fwd_jnp["mrays_per_s"], 3)
                                 if fwd_jnp else None),
         "golden_800x600_d5_fwd_bwd_ms": golden_ms,
+        "config5_1080p_d6_N256_wavefront_s": config5_s,
         **(device or {}),
         **meta,
     }
