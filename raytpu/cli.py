@@ -56,8 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print timing/Mrays/s stats as JSON")
     p.add_argument("--backend", choices=["auto", "jnp", "pallas", "wavefront"],
                    default="auto",
-                   help="compute path: fused Pallas TPU kernel or the "
-                        "XLA-fused jnp tracer (auto: pallas on TPU)")
+                   help="compute path: fused Pallas TPU kernel, wavefront "
+                        "tracer, or the XLA-fused jnp tracer (auto on TPU: "
+                        "wavefront for >=128 spheres at depth >=4, else "
+                        "pallas)")
     p.add_argument("--list-devices", action="store_true")
     p.add_argument("--device", type=int, default=None,
                    help="render on a single specific device index "

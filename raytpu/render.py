@@ -16,7 +16,9 @@ Two compute backends share one semantics contract:
                forward path (shards over the pixel axis like the others —
                each device runs its own wavefront loop on its pixel
                window, zero collectives).
-  * "auto"   — pallas on TPU, jnp elsewhere.
+  * "auto"   — on TPU: wavefront for large deep scenes (>= 128 spheres,
+               depth >= 4 — the measured crossover), fused pallas kernel
+               otherwise; jnp off-TPU.
 """
 
 from __future__ import annotations
@@ -33,9 +35,28 @@ from raytpu.parallel.mesh import PIXEL_AXIS, make_mesh
 from raytpu.trace import render_image, render_pixels
 
 
-def resolve_backend(backend: str = "auto") -> str:
+# Measured crossover (BASELINE.md device-time table, v5e): the wavefront
+# beats the fused dense kernel once dead subtrees dominate — 256 spheres at
+# depth 4 (1.4x) and any large-N depth 6 (4.4-5.5x) — while the dense
+# kernel wins shallow or small scenes (d2 N=256: 104 vs 133 ms; d4 N=64:
+# 356 vs 749 ms).
+_WF_MIN_SPHERES = 128
+_WF_MIN_DEPTH = 4
+
+
+def resolve_backend(backend: str = "auto", scene=None,
+                    cfg: RenderConfig | None = None) -> str:
+    """Resolve "auto" to a concrete backend.  With scene+cfg provided,
+    "auto" on TPU picks the wavefront tracer for large deep scenes (the
+    measured crossover above) and the fused dense kernel otherwise."""
     if backend == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if jax.default_backend() != "tpu":
+            return "jnp"
+        if (scene is not None and cfg is not None
+                and scene.spheres.pos.shape[0] >= _WF_MIN_SPHERES
+                and cfg.max_depth >= _WF_MIN_DEPTH):
+            return "wavefront"
+        return "pallas"
     if backend not in ("jnp", "pallas", "wavefront"):
         raise ValueError(f"unknown backend {backend!r}")
     return backend
@@ -43,7 +64,7 @@ def resolve_backend(backend: str = "auto") -> str:
 
 def render_single(scene, cfg: RenderConfig, backend: str = "auto"):
     """One-device full-frame render -> (H, W, 3)."""
-    backend = resolve_backend(backend)
+    backend = resolve_backend(backend, scene, cfg)
     # Off-TPU an explicitly requested kernel backend runs the Pallas
     # interpreter (the sanitizer mode) rather than failing to lower.
     interpret = jax.default_backend() != "tpu"
@@ -95,7 +116,7 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto"):
     """
     if mesh is None:
         mesh = make_mesh()
-    backend = resolve_backend(backend)
+    backend = resolve_backend(backend, scene, cfg)
     interpret = jax.default_backend() != "tpu"
     n = int(mesh.devices.size)
     p = cfg.num_pixels
@@ -140,7 +161,7 @@ def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
         traced_rays=tree,
         mrays_per_s=primary / dt / 1e6,
         traced_mrays_per_s=tree / dt / 1e6,
-        backend=resolve_backend(backend),
+        backend=resolve_backend(backend, scene, cfg),
         times=times,
     )
     return img, stats

@@ -114,6 +114,22 @@ def test_render_single_wavefront_backend():
     assert d.mean() < 1e-4 * scale
 
 
+def test_auto_backend_crossover(monkeypatch):
+    # "auto" on TPU picks the wavefront for large deep scenes (the
+    # measured crossover in BASELINE.md) and the dense kernel otherwise;
+    # off-TPU it stays jnp.
+    import raytpu.render as R
+    deep = RenderConfig(width=8, height=8, max_depth=6, alias_factor=1)
+    big = random_scene(256)
+    assert R.resolve_backend("auto", big, deep) == "jnp"  # on CPU
+    monkeypatch.setattr(R.jax, "default_backend", lambda: "tpu")
+    assert R.resolve_backend("auto", big, deep) == "wavefront"
+    assert R.resolve_backend("auto", default_scene(), deep) == "pallas"
+    shallow = RenderConfig(width=8, height=8, max_depth=2, alias_factor=1)
+    assert R.resolve_backend("auto", big, shallow) == "pallas"
+    assert R.resolve_backend("auto") == "pallas"  # no scene info
+
+
 def test_render_sharded_wavefront_matches_single():
     # Each device runs its own wavefront loop over its pixel window
     # (offset/count), zero collectives; the stitched frame must equal the
