@@ -239,10 +239,12 @@ def _matte_sum(scn, lights, n_lights, hx, hy, hz, nx, ny, nz):
 
 def _primary_container(scene, n_spheres, px, py, pz):
     """primaryContainer (raytracer.h:245-270): first containing sphere's
-    medium fields (matte rgb, ior, opacity) or the background's."""
+    medium fields (matte rgb, ior, opacity) or the background's, plus the
+    winning sphere index (-1 = none; the wavefront carries it as the
+    child's compressed medium state)."""
 
     def body(i, carry):
-        got, mr, mg, mb, ior, op = carry
+        got, mr, mg, mb, ior, op, idx = carry
         ex = px - scene[_S_PX, i]
         ey = py - scene[_S_PY, i]
         ez = pz - scene[_S_PZ, i]
@@ -252,14 +254,15 @@ def _primary_container(scene, n_spheres, px, py, pz):
         return (sel(f32(1.0), got),
                 sel(scene[_S_MR, i], mr), sel(scene[_S_MG, i], mg),
                 sel(scene[_S_MB, i], mb), sel(scene[_S_IOR, i], ior),
-                sel(scene[_S_OP, i], op))
+                sel(scene[_S_OP, i], op), sel(i, idx))
 
     shape = px.shape
     init = (jnp.zeros(shape, f32), jnp.zeros(shape, f32),
             jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.ones(shape, f32), jnp.zeros(shape, f32))
-    got, mr, mg, mb, ior, op = _sphere_loop(n_spheres, body, init)
-    return got > 0, mr, mg, mb, ior, op
+            jnp.ones(shape, f32), jnp.zeros(shape, f32),
+            jnp.full(shape, -1, jnp.int32))
+    got, mr, mg, mb, ior, op, idx = _sphere_loop(n_spheres, body, init)
+    return got > 0, mr, mg, mb, ior, op, idx
 
 
 def _closest_hit_idx(scene, n_spheres, ox, oy, oz, dx, dy, dz):
@@ -350,7 +353,7 @@ class _SmemScene:
         got = idx >= 0
         ior = jnp.where(got, fields[_S_IOR], f32(1.0))
         return (got, fields[_S_MR], fields[_S_MG], fields[_S_MB], ior,
-                fields[_S_OP])
+                fields[_S_OP], idx)
 
 
 # Ray-chunk bound for one gather's one-hot table: (N, 4096) f32 at N=256 is
@@ -449,7 +452,7 @@ class _VjpScene:
         # Non-contained lanes mirror _primary_container's init (ior=1).
         ior = jnp.where(got, fields[_S_IOR], f32(1.0))
         return (got, fields[_S_MR], fields[_S_MG], fields[_S_MB], ior,
-                fields[_S_OP])
+                fields[_S_OP], idx)
 
 
 def _fresnel(n1, n2, c1, c2):
@@ -464,7 +467,7 @@ def _fresnel(n1, n2, c1, c2):
 
 
 def _trace_level(scn, lights, n_lights, bg, state, spawn,
-                 skip_dead_shading=False):
+                 skip_dead_shading=False, medium_idx=None):
     """One bounce level on SoA ray state; mirrors raytpu.trace._trace_level
     (see its docstring for the reference-semantics map).  `bg` is a dict of
     background-medium scalars (traced values read from SMEM).
@@ -473,7 +476,14 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
     liveness cond — background tiles (most of a typical frame) then skip the
     lights x spheres shadow loops entirely; exact, because the block's
     result is fully masked by `mgate` anyway.  The backward kernel leaves it
-    off to keep its per-level vjp straight-line."""
+    off to keep its per-level vjp straight-line.
+
+    medium_idx (wavefront state compression): the parent rays' medium as a
+    SPHERE INDEX vector (f32; -1 = background).  When given, the spawned
+    children carry [refraction-target index | parent index] as their 10th
+    field instead of the five medium value fields — exact, because the
+    values are a pure table lookup of the index (wavefront.py regathers
+    them at the next level)."""
     (ox, oy, oz, dx, dy, dz, ir, ig, ib, mmr, mmg, mmb, mior, mop) = state
     hit = scn.closest_hit(ox, oy, oz, dx, dy, dz)
     sig = (ir >= _MIN_SIG) | (ig >= _MIN_SIG) | (ib >= _MIN_SIG)
@@ -516,7 +526,7 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
     probe_x = hx + _SHIFT * dx
     probe_y = hy + _SHIFT * dy
     probe_z = hz + _SHIFT * dz
-    t_in, tmr, tmg, tmb, tior, top = scn.primary_container(
+    t_in, tmr, tmg, tmb, tior, top, t_idx = scn.primary_container(
         probe_x, probe_y, probe_z)
     tior_bg = jnp.where(t_in, tior, bg["ior"])
     tmop = jnp.where(t_in, top, bg["opacity"])
@@ -585,9 +595,15 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
         cat(hx, gox), cat(hy, goy), cat(hz, goz),
         cat(rdx, gx), cat(rdy, gy), cat(rdz, gz),
         cat(r_ir, g_ir), cat(r_ig, g_ig), cat(r_ib, g_ib),
-        cat(tmmr, mmr), cat(tmmg, mmg), cat(tmmb, mmb),
-        cat(tior_bg, mior), cat(tmop, mop),
     )
+    if medium_idx is not None:
+        c_mix = jnp.where(t_in, t_idx.astype(f32), f32(-1.0))
+        children = children + (cat(c_mix, medium_idx),)
+    else:
+        children = children + (
+            cat(tmmr, mmr), cat(tmmg, mmg), cat(tmmb, mmb),
+            cat(tior_bg, mior), cat(tmop, mop),
+        )
     return (er, eg, eb), children
 
 

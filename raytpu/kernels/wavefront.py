@@ -9,8 +9,8 @@ recover the work.  This module restructures the trace as a *wavefront*
 (the standard GPU megakernel -> wavefront split, rebuilt TPU-first):
 
   * one Pallas kernel per bounce level, operating on flat SoA ray-state
-    arrays (the same 14 fields `_trace_level` carries) tiled
-    (WF_BLOCK_ROWS, 128) rays per grid step;
+    arrays (position/direction/intensity plus a compressed medium INDEX —
+    see N_STATE) tiled (WF_BLOCK_ROWS, 128) rays per grid step;
   * between levels, an XLA `lax.sort` co-sorts the child state by the key
     (dead << 30) | pixel_id — dead children (whose intensity the level
     kernel already zeroed *exactly*) sink to the tail, live children are
@@ -61,7 +61,13 @@ from raytpu.kernels.trace_pallas import (
     LANES,
     UNROLL_SPHERES,
     VMEM_LIMIT_BYTES,
+    _S_IOR,
+    _S_MB,
+    _S_MG,
+    _S_MR,
+    _S_OP,
     _camera_dirs,
+    _gather_cols,
     _scene_tables,
     _SmemScene,
     _trace_level,
@@ -74,7 +80,13 @@ from raytpu.kernels.trace_pallas import (
 WF_BLOCK_ROWS = 32
 WF_BLOCK = WF_BLOCK_ROWS * LANES
 
-N_STATE = 14  # field order matches _trace_level's state tuple
+# Compressed SoA ray state: position(3) + direction(3) + intensity(3) +
+# medium INDEX (f32; -1 = background).  The five medium VALUE fields
+# _trace_level consumes are regathered from the scene table at each level
+# (one one-hot matmul on the MXU) — carrying the index instead of the
+# values cuts the inter-level co-sort from 16 to 12 operands and the
+# state DMA by 4/14.
+N_STATE = 10
 
 _DEAD_BIT = np.int32(1 << 30)
 
@@ -94,7 +106,8 @@ def _make_wf_kernel(n_spheres: int, n_lights: int, spawn: bool):
         bg = dict(matte_r=bg_ref[0, 0], matte_g=bg_ref[1, 0],
                   matte_b=bg_ref[2, 0], ior=bg_ref[3, 0],
                   opacity=bg_ref[4, 0])
-        vals = (scene_vmem_ref[:] if n_spheres > UNROLL_SPHERES else None)
+        vals_all = scene_vmem_ref[:]
+        vals = (vals_all if n_spheres > UNROLL_SPHERES else None)
         state = tuple(r[:] for r in state_refs)
         scn = _SmemScene(scene_ref, n_spheres, vals)
 
@@ -109,8 +122,20 @@ def _make_wf_kernel(n_spheres: int, n_lights: int, spawn: bool):
         # emit and spawn exact zeros anyway.
         @pl.when(alive)
         def _():
+            # Decompress the medium: gather the index's value fields from
+            # the scene table (idx -1 gathers zeros -> background select).
+            mix = state[9]
+            idx = mix.astype(jnp.int32)
+            fields = _gather_cols(vals_all, idx)
+            is_bg = idx < 0
+            sel = lambda row, b: jnp.where(is_bg, b, fields[row])
+            full = state[:9] + (
+                sel(_S_MR, bg["matte_r"]), sel(_S_MG, bg["matte_g"]),
+                sel(_S_MB, bg["matte_b"]), sel(_S_IOR, bg["ior"]),
+                sel(_S_OP, bg["opacity"]))
             (er, eg, eb), children = _trace_level(
-                scn, lights_ref, n_lights, bg, state, spawn=spawn)
+                scn, lights_ref, n_lights, bg, full, spawn=spawn,
+                medium_idx=mix)
             outs = (er, eg, eb) + (children if spawn else ())
             for ref, val in zip(out_refs, outs):
                 ref[:] = val
@@ -197,10 +222,10 @@ def _compact(children, pid, cap: int):
     ir, ig, ib = children[6], children[7], children[8]
     alive = (ir != 0) | (ig != 0) | (ib != 0)
     key = jnp.where(alive, jnp.int32(0), _DEAD_BIT) | pid
-    out = jax.lax.sort((key,) + children + (pid,), num_keys=1,
-                       is_stable=False)
+    # The pid needs no payload slot of its own: it IS the key's low 30
+    # bits (one fewer sorted operand).
+    out = jax.lax.sort((key,) + children, num_keys=1, is_stable=False)
     state = tuple(o[:cap] for o in out[1:1 + N_STATE])
-    new_pid = out[-1][:cap]
     n_alive = jnp.sum(alive.astype(jnp.int32))
     dropped = jnp.maximum(n_alive - jnp.int32(cap), 0)
     # Dead entries inside the kept prefix: clamp their pid to the last pixel
@@ -208,7 +233,8 @@ def _compact(children, pid, cap: int):
     # and intensities are exact zeros, so the target pixel is irrelevant).
     kept_key = out[0][:cap]
     kept_alive = kept_key < _DEAD_BIT
-    new_pid = jnp.where(kept_alive, new_pid, jnp.int32(0x3FFFFFFF))
+    new_pid = jnp.where(kept_alive, kept_key & jnp.int32(0x3FFFFFFF),
+                        jnp.int32(0x3FFFFFFF))
     return state, new_pid, dropped
 
 
@@ -259,7 +285,6 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
     n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
-    bgv = bg_tbl[:, 0]
 
     # Pixel window [offset, offset + npix): the full frame by default, or
     # one device's contiguous pixel shard (offset may be traced — it is
@@ -287,9 +312,9 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
         dx, dy, dz = _camera_dirs(cfg, offset + pid, si, sj)
         zero = jnp.zeros_like(dx)
         one = jnp.where(in_range, f32(1.0), f32(0.0))
+        # Camera rays start in the background medium: index -1.
         state = (zero, zero, zero, dx, dy, dz, one, one, one,
-                 zero + bgv[0], zero + bgv[1], zero + bgv[2],
-                 zero + bgv[3], zero + bgv[4])
+                 zero + f32(-1.0))
 
         # pid is sorted only when it came out of _compact: level-0 pids
         # wrap at sample boundaries and the no-sort branch interleaves
