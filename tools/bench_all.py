@@ -62,6 +62,18 @@ def main():
             row["fwd_mrays_s"] = round(cfg.rays_per_frame / dt / 1e6, 1)
         except Exception as e:
             row["fwd_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+        # Wavefront comparison where the auto heuristic would pick it
+        # (render.resolve_backend: >=128 spheres, depth >= 4).
+        if scene.spheres.pos.shape[0] >= 128 and cfg.max_depth >= 4:
+            try:
+                from raytpu.kernels.wavefront import render_image_wavefront
+                dt = bench(lambda: float(
+                    jnp.sum(render_image_wavefront(scene, cfg))))
+                row["fwd_wavefront_ms"] = round(dt * 1e3, 2)
+                row["fwd_wavefront_mrays_s"] = round(
+                    cfg.rays_per_frame / dt / 1e6, 1)
+            except Exception as e:
+                row["wavefront_error"] = f"{type(e).__name__}: {str(e)[:120]}"
         if scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES:
             try:
                 target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
