@@ -25,7 +25,9 @@ from raytpu.scene import Scene, Spheres, Lights, Medium, default_scene, make_mat
 from raytpu.scene_io import load_scene, save_scene
 from raytpu.trace import render_image, trace_rays, camera_rays
 from raytpu.render import render_single, render_sharded, render_timed
-from raytpu.grad import fit_scene, image_loss, loss_and_grad, loss_and_grad_sharded
+from raytpu.grad import (fit_scene, image_loss, loss_and_grad,
+                         loss_and_grad_pallas, loss_and_grad_sharded,
+                         loss_and_grad_wavefront)
 from raytpu.image import tone_map, write_ppm, read_ppm, max_colour_value
 
 __version__ = "0.1.0"
@@ -37,7 +39,8 @@ __all__ = [
     "load_scene", "save_scene",
     "render_image", "trace_rays", "camera_rays",
     "render_single", "render_sharded", "render_timed",
-    "fit_scene", "image_loss", "loss_and_grad", "loss_and_grad_sharded",
+    "fit_scene", "image_loss", "loss_and_grad", "loss_and_grad_pallas",
+    "loss_and_grad_sharded", "loss_and_grad_wavefront",
     "tone_map", "write_ppm", "read_ppm", "max_colour_value",
     "__version__",
 ]

@@ -76,6 +76,32 @@ def _loss_and_grad_pallas(scene, cfg: RenderConfig, target_flat, interpret):
     return jax.value_and_grad(loss)(scene)
 
 
+def loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
+                            chunk_rays: int = 1 << 20):
+    """Loss + gradients via the differentiable wavefront tracer — the
+    large-scene/deep-depth training path (per-level custom-VJP kernels;
+    no sphere-count cap from one-hot unrolls, dead subtrees skipped at
+    per-ray granularity).  Interpret-mode sanitizer off-TPU."""
+    interpret = jax.default_backend() != "tpu"
+    return _loss_and_grad_wavefront(scene, cfg, target_flat, interpret,
+                                    chunk_rays)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret",
+                                             "chunk_rays"))
+def _loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
+                             interpret, chunk_rays):
+    from raytpu.kernels.wavefront import render_pixels_wavefront
+
+    def loss(s):
+        img = render_pixels_wavefront(s, cfg, chunk_rays=chunk_rays,
+                                      interpret=interpret, ad=True)
+        err = img - target_flat
+        return jnp.mean(err * err)
+
+    return jax.value_and_grad(loss)(scene)
+
+
 @functools.lru_cache(maxsize=16)
 def _sharded_grad_fn(cfg: RenderConfig, mesh, backend: str = "jnp",
                      interpret: bool = False):

@@ -37,8 +37,12 @@ the default factor 2.0 measures zero drops on every BASELINE config (live
 rays per camera ray stay ~<= 1.2 at depth 6 because the intensity cutoff
 kills children faster than the tree doubles).
 
-Forward-only: gradients go through the fused dense kernels or the jnp
-tracer (the wavefront's value is large-scene forward throughput).
+Differentiable (`ad=True`): each level call is a custom-VJP pair — the
+backward is one Pallas kernel per level in the dense backward's style
+(jax.vjp over the level with _VjpScene; scene/light/bg cotangents
+accumulate across the grid) — while XLA autodiff routes cotangents
+through the sort/scatter glue natively.  Small/shallow scenes should
+still train through the fused dense kernels (raytpu.grad).
 
 Reference map: the level body is rayTrace's stage machine
 (raytracer.h:410-636) — see trace_pallas._trace_level; the wavefront
@@ -59,6 +63,8 @@ from jax.experimental.pallas import tpu as pltpu
 from raytpu.config import RenderConfig
 from raytpu.kernels.trace_pallas import (
     LANES,
+    LIGHT_ROWS,
+    SCENE_ROWS,
     UNROLL_SPHERES,
     VMEM_LIMIT_BYTES,
     _S_IOR,
@@ -69,8 +75,10 @@ from raytpu.kernels.trace_pallas import (
     _camera_dirs,
     _gather_cols,
     _scene_tables,
+    _ScalarTable,
     _SmemScene,
     _trace_level,
+    _VjpScene,
     f32,
 )
 
@@ -193,6 +201,178 @@ def _wf_level_call(scene_tbl, lights_tbl, bg_tbl, state, n_spheres: int,
     return em, children
 
 
+# ---------------------------------------------------------------------------
+# Differentiable wavefront: the custom-VJP boundary sits at the LEVEL call,
+# so XLA autodiff handles all the between-level glue natively (the sort's
+# JVP applies the primal permutation to the cotangents; the emission
+# scatter-add transposes to a gather), and the per-level backward is one
+# Pallas kernel in the dense backward's style: jax.vjp over the level body
+# with _VjpScene (selection loops stay non-differentiable over SMEM, field
+# values flow through one-hot gather matmuls), scene/light/bg cotangents
+# accumulated across the sequential grid.  The medium-index state field is
+# discrete — its cotangent is exactly zero; medium-VALUE gradients flow
+# through each level's decompression gather of the traced value table
+# (the same d_table path the dense backward uses for its gathers).
+
+
+def _make_wf_bwd_kernel(n_spheres: int, n_lights: int, spawn: bool):
+    n_ch = N_STATE if spawn else 0
+
+    def kernel(scene_ref, scene_vmem_ref, lights_ref, bg_ref, *refs):
+        state_refs = refs[:N_STATE]
+        emct_refs = refs[N_STATE:N_STATE + 3]
+        chct_refs = refs[N_STATE + 3:N_STATE + 3 + n_ch]
+        out = refs[N_STATE + 3 + n_ch:]
+        stct_refs = out[:N_STATE]
+        gscene_ref, glights_ref, gbg_ref = out[N_STATE:]
+
+        sv = scene_vmem_ref[:]
+        lv = tuple(tuple(lights_ref[r, l] for l in range(n_lights))
+                   for r in range(LIGHT_ROWS))
+        bgv = tuple(bg_ref[k, 0] for k in range(5))
+        state = tuple(r_[:] for r_ in state_refs)
+        mix = state[9]
+        midx = mix.astype(jnp.int32)
+        is_bg = midx < 0
+
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            gscene_ref[:] = jnp.zeros(gscene_ref.shape, f32)
+            for r in range(LIGHT_ROWS):
+                for l in range(n_lights):
+                    glights_ref[r, l] = f32(0.0)
+            for k in range(5):
+                gbg_ref[k, 0] = f32(0.0)
+
+        ir, ig, ib = state[6], state[7], state[8]
+        alive = jnp.max(jnp.maximum(ir, jnp.maximum(ig, ib))) > 0
+
+        def fn(sv_, lv_, bgv_, st9):
+            # Medium decompression is part of the differentiated level:
+            # its gather routes medium-value cotangents into d(sv_).
+            fields = _gather_cols(sv_, midx)
+            sel = lambda row, b: jnp.where(is_bg, b, fields[row])
+            full = st9 + (sel(_S_MR, bgv_[0]), sel(_S_MG, bgv_[1]),
+                          sel(_S_MB, bgv_[2]), sel(_S_IOR, bgv_[3]),
+                          sel(_S_OP, bgv_[4]))
+            bg = dict(matte_r=bgv_[0], matte_g=bgv_[1], matte_b=bgv_[2],
+                      ior=bgv_[3], opacity=bgv_[4])
+            scn = _VjpScene(scene_ref, sv_, n_spheres)
+            lights = _ScalarTable(lv_)
+            (er, eg, eb), children = _trace_level(
+                scn, lights, n_lights, bg, full, spawn=spawn,
+                medium_idx=mix)
+            # children[9] is the child medium index — discrete, no
+            # cotangent; the 9 differentiable fields are what flow back.
+            return (er, eg, eb), (children[:9] if spawn else ())
+
+        # Mirrors the forward's whole-block early exit exactly: a dead
+        # block produced exact zeros, so every cotangent through it is 0.
+        @pl.when(alive)
+        def _():
+            cot_em = tuple(r_[:] for r_ in emct_refs)
+            cot_ch = tuple(r_[:] for r_ in chct_refs[:9])
+            _, vjp = jax.vjp(fn, sv, lv, bgv, state[:9])
+            d_sv, d_lv, d_bgv, d_st9 = vjp((cot_em, cot_ch))
+            for k in range(9):
+                stct_refs[k][:] = d_st9[k]
+            stct_refs[9][:] = jnp.zeros(stct_refs[9].shape, f32)
+            gscene_ref[:] = gscene_ref[:] + d_sv
+            for r in range(LIGHT_ROWS):
+                for l in range(n_lights):
+                    glights_ref[r, l] = glights_ref[r, l] + d_lv[r][l]
+            for k in range(5):
+                gbg_ref[k, 0] = gbg_ref[k, 0] + d_bgv[k]
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            for k in range(N_STATE):
+                stct_refs[k][:] = jnp.zeros(stct_refs[k].shape, f32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_spheres", "n_lights", "spawn", "interpret"))
+def _wf_level_bwd_call(scene_tbl, lights_tbl, bg_tbl, state, em_ct, ch_ct,
+                       n_spheres: int, n_lights: int, spawn: bool,
+                       interpret: bool):
+    """Backward of one level: (d_scene_tbl, d_lights, d_bg, d_state)."""
+    r = state[0].shape[0]
+    rows = r // LANES
+    tiles = rows // WF_BLOCK_ROWS
+    to2d = lambda xs, nr: tuple(x.reshape(nr * tiles, LANES) for x in xs)
+    state2d = to2d(state, WF_BLOCK_ROWS)
+    emct2d = to2d(em_ct, WF_BLOCK_ROWS)
+    chct2d = to2d(ch_ct, 2 * WF_BLOCK_ROWS) if spawn else ()
+
+    blk = lambda nr: pl.BlockSpec((nr, LANES), lambda t: (t, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM),
+         pl.BlockSpec(memory_space=pltpu.VMEM),
+         pl.BlockSpec(memory_space=pltpu.SMEM),
+         pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [blk(WF_BLOCK_ROWS)] * N_STATE
+        + [blk(WF_BLOCK_ROWS)] * 3
+        + [blk(2 * WF_BLOCK_ROWS)] * (N_STATE if spawn else 0))
+    out_specs = ([blk(WF_BLOCK_ROWS)] * N_STATE
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM)])
+    out_shape = ([jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * N_STATE
+                 + [jax.ShapeDtypeStruct((SCENE_ROWS, n_spheres),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((LIGHT_ROWS, n_lights),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((5, 1), jnp.float32)])
+
+    outs = pl.pallas_call(
+        _make_wf_bwd_kernel(n_spheres, n_lights, spawn),
+        grid=(tiles,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(scene_tbl, scene_tbl, lights_tbl, bg_tbl,
+      *state2d, *emct2d, *chct2d)
+
+    d_state = tuple(o.reshape(-1) for o in outs[:N_STATE])
+    d_scene, d_lights, d_bg = outs[N_STATE:]
+    return d_scene, d_lights, d_bg, d_state
+
+
+@functools.lru_cache(maxsize=None)
+def _wf_level_ad(n_spheres: int, n_lights: int, spawn: bool,
+                 interpret: bool):
+    """custom_vjp-wrapped level call for the differentiable wavefront."""
+
+    @jax.custom_vjp
+    def level(scene_tbl, lights_tbl, bg_tbl, state):
+        em, ch = _wf_level_call(scene_tbl, lights_tbl, bg_tbl, state,
+                                n_spheres, n_lights, spawn, interpret)
+        return em, (ch if spawn else ())
+
+    def fwd(scene_tbl, lights_tbl, bg_tbl, state):
+        out = level(scene_tbl, lights_tbl, bg_tbl, state)
+        return out, (scene_tbl, lights_tbl, bg_tbl, state)
+
+    def bwd(res, cts):
+        scene_tbl, lights_tbl, bg_tbl, state = res
+        em_ct, ch_ct = cts
+        d_scene, d_lights, d_bg, d_state = _wf_level_bwd_call(
+            scene_tbl, lights_tbl, bg_tbl, state, em_ct, ch_ct,
+            n_spheres, n_lights, spawn, interpret)
+        return d_scene, d_lights, d_bg, d_state
+
+    level.defvjp(fwd, bwd)
+    return level
+
+
 def _dup_tilewise(pid, tiles):
     """Map per-ray metadata onto the children's per-tile
     [refraction | reflection] layout."""
@@ -278,10 +458,11 @@ def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "chunk_rays", "capacity_factor", "eager_sort", "interpret",
-    "count"))
+    "count", "ad"))
 def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                            capacity_factor: int, eager_sort: bool,
-                           interpret: bool, offset=0, count=None):
+                           interpret: bool, offset=0, count=None,
+                           ad: bool = False):
     n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
@@ -322,9 +503,15 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
         pid_sorted = False
         for level in range(cfg.max_depth + 1):
             spawn = level < cfg.max_depth
-            em, children = _wf_level_call(
-                scene_tbl, lights_tbl, bg_tbl, state, n_spheres, n_lights,
-                spawn, interpret)
+            if ad:
+                em, ch = _wf_level_ad(n_spheres, n_lights, spawn,
+                                      interpret)(
+                    scene_tbl, lights_tbl, bg_tbl, state)
+                children = ch if spawn else None
+            else:
+                em, children = _wf_level_call(
+                    scene_tbl, lights_tbl, bg_tbl, state, n_spheres,
+                    n_lights, spawn, interpret)
             # Post-compaction levels have dead rays grouped at the tail,
             # so their emission scatters run cond-guarded per segment.
             acc = _scatter_emissions(acc, em, pid, npix,
@@ -346,8 +533,12 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
 
     acc0 = tuple(jnp.zeros((npix,), jnp.float32) for _ in range(3))
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (acc, dropped), _ = jax.lax.scan(trace_chunk,
-                                     (acc0, jnp.int32(0)), starts)
+    # Under reverse AD the scan would otherwise save every chunk's full
+    # per-level residual set; checkpointing the body re-runs each chunk's
+    # forward during the backward sweep instead (the per-level custom-VJP
+    # kernels then rematerialize inside their own backward).
+    body = jax.checkpoint(trace_chunk) if ad else trace_chunk
+    (acc, dropped), _ = jax.lax.scan(body, (acc0, jnp.int32(0)), starts)
     weight = f32(1.0 / cfg.samples_per_pixel)
     return jnp.stack(acc, axis=-1) * weight, dropped
 
@@ -358,9 +549,14 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
                             eager_sort: bool = True,
                             interpret: bool = False,
                             return_info: bool = False,
-                            offset=0, count=None):
+                            offset=0, count=None, ad: bool = False):
     """Wavefront render of pixels [offset, offset+count) -> (count, 3)
     linear colour (the full frame by default).
+
+    With `ad`, the render is differentiable w.r.t. every scene leaf: each
+    level call becomes a custom-VJP pair (forward kernel + per-level
+    backward kernel) and XLA autodiff carries cotangents through the
+    sort/scatter glue — see raytpu.grad.loss_and_grad_wavefront.
 
     `chunk_rays` bounds live memory (camera rays per scan step);
     `capacity_factor` x chunk_rays is the per-level live-ray capacity.
@@ -375,7 +571,7 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     img, dropped = _render_wavefront_impl(
         scene, cfg, chunk_rays=chunk_rays, capacity_factor=capacity_factor,
         eager_sort=eager_sort, interpret=interpret, offset=offset,
-        count=count)
+        count=count, ad=ad)
     if return_info:
         return img, dict(dropped=int(dropped))
     return img

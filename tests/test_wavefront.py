@@ -114,6 +114,32 @@ def test_render_single_wavefront_backend():
     assert d.mean() < 1e-4 * scale
 
 
+def test_wavefront_grads_match_dense_kernel():
+    # The differentiable wavefront (per-level custom-VJP kernels + XLA
+    # autodiff through the sort/scatter glue) must agree with the fused
+    # dense gradient kernel — the SAME-kernel-family comparison (grads vs
+    # the jnp tracer amplify forward branch flips and are NOT a valid
+    # oracle; the dense path is itself finite-difference-checked in
+    # tests/test_grad.py).  Multi-chunk + sort-active + gather path
+    # (chunk < frame, depth 3, 24 spheres).
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from raytpu.grad import loss_and_grad_pallas, loss_and_grad_wavefront
+
+    cfg = RenderConfig(width=64, height=48, max_depth=3, alias_factor=1)
+    scene = random_scene(24, num_lights=2, seed=5)
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    lw, gw = loss_and_grad_wavefront(scene, cfg, target, chunk_rays=1024)
+    lp, gp = loss_and_grad_pallas(scene, cfg, target)
+    np.testing.assert_allclose(float(lw), float(lp), rtol=1e-6)
+    for (pa, a), (pb, b) in zip(jtu.tree_leaves_with_path(gw),
+                                jtu.tree_leaves_with_path(gp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(b).max()), 1e-12)
+        assert np.abs(a - b).max() <= 2e-3 * scale, jtu.keystr(pa)
+
+
 def test_auto_backend_crossover(monkeypatch):
     # "auto" on TPU picks the wavefront for large deep scenes (the
     # measured crossover in BASELINE.md) and the dense kernel otherwise;
