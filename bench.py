@@ -67,10 +67,19 @@ def main():
             pass
 
     # Forward + backward (loss + scene-parameter gradients): the fused
-    # Pallas kernels on TPU, jnp autodiff elsewhere.
+    # Pallas kernels in their native tiled layout on TPU (target packed
+    # once, the step itself is transpose-free), jnp autodiff elsewhere.
     target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
     if jax.default_backend() == "tpu":
-        from raytpu.grad import loss_and_grad_pallas as _lg
+        from raytpu.grad import loss_and_grad_pallas_packed, pack_target
+
+        _packed = {}
+
+        def _lg(s, c, t):
+            key = (c.width, c.height, c.max_depth)
+            if key not in _packed:
+                _packed[key] = pack_target(c, t)
+            return loss_and_grad_pallas_packed(s, c, _packed[key])
     else:
         _lg = loss_and_grad
 

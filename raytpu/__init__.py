@@ -26,8 +26,9 @@ from raytpu.scene_io import load_scene, save_scene
 from raytpu.trace import render_image, trace_rays, camera_rays
 from raytpu.render import render_single, render_sharded, render_timed
 from raytpu.grad import (fit_scene, image_loss, loss_and_grad,
-                         loss_and_grad_pallas, loss_and_grad_sharded,
-                         loss_and_grad_wavefront)
+                         loss_and_grad_pallas, loss_and_grad_pallas_packed,
+                         loss_and_grad_sharded, loss_and_grad_wavefront,
+                         pack_target)
 from raytpu.image import tone_map, write_ppm, read_ppm, max_colour_value
 
 __version__ = "0.1.0"
@@ -40,7 +41,8 @@ __all__ = [
     "render_image", "trace_rays", "camera_rays",
     "render_single", "render_sharded", "render_timed",
     "fit_scene", "image_loss", "loss_and_grad", "loss_and_grad_pallas",
-    "loss_and_grad_sharded", "loss_and_grad_wavefront",
+    "loss_and_grad_pallas_packed", "loss_and_grad_sharded",
+    "loss_and_grad_wavefront", "pack_target",
     "tone_map", "write_ppm", "read_ppm", "max_colour_value",
     "__version__",
 ]

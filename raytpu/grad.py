@@ -76,6 +76,39 @@ def _loss_and_grad_pallas(scene, cfg: RenderConfig, target_flat, interpret):
     return jax.value_and_grad(loss)(scene)
 
 
+def pack_target(cfg: RenderConfig, target_flat):
+    """(P, 3) target -> the fused kernel's native (3, rows, LANES) tiled
+    layout.  Pack once per fit, outside the step: the packed training step
+    (loss_and_grad_pallas_packed) then runs with no lane-padded (P, 3)
+    arrays or transposes at all."""
+    from raytpu.kernels.trace_pallas import pack_pixel_tiles
+    return pack_pixel_tiles(target_flat, cfg.num_pixels)
+
+
+def loss_and_grad_pallas_packed(scene, cfg: RenderConfig, target_packed):
+    """Loss + gradients with the whole step in the kernel's native tiled
+    layout — the fast training step on TPU.  target_packed comes from
+    pack_target; the loss equals image_loss up to float reduction order."""
+    interpret = jax.default_backend() != "tpu"
+    return _loss_and_grad_pallas_packed(scene, cfg, target_packed, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _loss_and_grad_pallas_packed(scene, cfg: RenderConfig, target_packed,
+                                 interpret):
+    from raytpu.kernels.trace_pallas import render_tiles_pallas_ad, tile_mask
+
+    count = cfg.num_pixels
+    mask = tile_mask(count)  # zero the tail-pad lanes out of the loss
+
+    def loss(s):
+        out = render_tiles_pallas_ad(s, cfg, interpret)
+        err = (out - target_packed) * mask
+        return jnp.sum(err * err) / (3.0 * count)
+
+    return jax.value_and_grad(loss)(scene)
+
+
 def loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
                             chunk_rays: int = 1 << 20):
     """Loss + gradients via the differentiable wavefront tracer — the
@@ -210,7 +243,12 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
             loss, grads = loss_and_grad_sharded(scene, cfg, target_flat, mesh,
                                                 backend=backend)
         elif use_pallas:
-            loss, grads = loss_and_grad_pallas(scene, cfg, target_flat)
+            if step == 0:
+                # Pack the (constant) target into the kernel's native tiled
+                # layout once; every step then runs transpose-free.
+                target_packed = pack_target(cfg, target_flat)
+            loss, grads = loss_and_grad_pallas_packed(scene, cfg,
+                                                      target_packed)
         else:
             loss, grads = loss_and_grad(scene, cfg, target_flat)
         if trainable is not None:

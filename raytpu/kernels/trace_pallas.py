@@ -1010,6 +1010,25 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
     pixel shard; `g` is that block's cotangent, shape (count, 3).  Tail-pad
     pixels re-render pixel p-1 but carry an exactly-zero cotangent, so they
     contribute nothing to the accumulated scene gradients."""
+    if count is None:
+        count = cfg.num_pixels
+    tiles = -(-count // TILE_PIXELS)
+    pad = tiles * TILE_PIXELS - count
+    g_pad = jnp.pad(g, ((0, pad), (0, 0)))        # zero cotangent on tail
+    g_tbl = g_pad.T.reshape(3, tiles * TILE_ROWS, LANES)
+    return _grad_pixels_pallas_tbl(scene, cfg, g_tbl, interpret, offset,
+                                   count)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "count"))
+def _grad_pixels_pallas_tbl(scene, cfg: RenderConfig, g_tbl,
+                            interpret: bool = False, offset=0,
+                            count: int | None = None):
+    """Backward-kernel core taking the cotangent already in the kernel's
+    native tiled layout: g_tbl (3, tiles*TILE_ROWS, LANES), tail-pad lanes
+    zero.  The (count, 3) API above is a pad+transpose wrapper; the
+    native-layout training step feeds this directly and skips the
+    lane-padded (P, 3) round-trip entirely."""
     from raytpu.scene import Lights, Medium, Scene, Spheres
 
     n_spheres = scene.spheres.pos.shape[0]
@@ -1027,9 +1046,6 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
     if count is None:
         count = p
     tiles = -(-count // TILE_PIXELS)
-    pad = tiles * TILE_PIXELS - count
-    g_pad = jnp.pad(g, ((0, pad), (0, 0)))        # zero cotangent on tail
-    g_tbl = g_pad.T.reshape(3, tiles * TILE_ROWS, LANES)
 
     kernel = _make_bwd_kernel(cfg, n_spheres, n_lights, p)
     gs, gl, gb = pl.pallas_call(
@@ -1109,3 +1125,96 @@ def _ad_bwd(cfg, interpret, count, res, g):
 
 
 render_pixels_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Native-layout differentiable render: the training-step fast path.
+#
+# render_pixels_pallas returns (count, 3) — a transpose of the kernel's
+# (3, rows, LANES) output — and the (count, 3) loss that follows runs on a
+# lane-padded layout (TPU pads the minor dim 3 -> 128 lanes: 42x the memory)
+# plus a second transpose for the cotangent on the way back.  The tiled
+# variants below keep the step in the kernel's own layout end to end; the
+# loss masks the tail-pad lanes instead of slicing them off.
+# ---------------------------------------------------------------------------
+
+
+def pack_pixel_tiles(flat, count: int | None = None):
+    """(count, 3) pixel data -> the kernel's (3, tiles*TILE_ROWS, LANES)
+    tiled layout (tail zero-padded).  One lane-padded transpose — do it once
+    per fit, outside the training step."""
+    if count is None:
+        count = flat.shape[0]
+    tiles = -(-count // TILE_PIXELS)
+    pad = tiles * TILE_PIXELS - count
+    fp = jnp.pad(flat, ((0, pad), (0, 0)))
+    return fp.T.reshape(3, tiles * TILE_ROWS, LANES)
+
+
+def unpack_pixel_tiles(tbl, count: int):
+    """Inverse of pack_pixel_tiles: (3, R, LANES) -> (count, 3)."""
+    return tbl.reshape(3, -1).T[:count]
+
+
+def tile_mask(count: int):
+    """(rows, LANES) f32 mask: 1 where the lane maps to a real pixel of a
+    `count`-pixel block, 0 on the tail pad (those lanes re-render the last
+    pixel and must not contribute to a loss)."""
+    tiles = -(-count // TILE_PIXELS)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tiles * TILE_ROWS, LANES), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tiles * TILE_ROWS, LANES), 1)
+    return (rows * LANES + lanes < count).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4))
+def render_tiles_pallas_ad(scene, cfg: RenderConfig, interpret: bool = False,
+                           offset=0, count: int | None = None):
+    """Differentiable fused render in the kernel's native tiled layout:
+    returns (3, tiles*TILE_ROWS, LANES) and takes its cotangent in the same
+    shape — no lane-padded (P, 3) arrays or transposes anywhere in the
+    autodiff path.  Same offset/count shard contract as
+    render_pixels_pallas_ad."""
+    n_spheres = scene.spheres.pos.shape[0]
+    n_lights = scene.lights.pos.shape[0]
+    scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
+    offset_tbl = jnp.asarray(offset, jnp.int32).reshape(1, 1)
+    p = cfg.num_pixels
+    if count is None:
+        count = p
+    tiles = -(-count // TILE_PIXELS)
+    kernel = _make_kernel(cfg, n_spheres, n_lights, p)
+    return pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((3, TILE_ROWS, LANES),
+                               lambda t: (0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, tiles * TILE_ROWS, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(scene_tbl, scene_tbl, lights_tbl, bg_tbl, offset_tbl)
+
+
+def _tiles_ad_fwd(scene, cfg, interpret, offset, count):
+    out = render_tiles_pallas_ad(scene, cfg, interpret, offset, count)
+    return out, (scene, offset)
+
+
+def _tiles_ad_bwd(cfg, interpret, count, res, g):
+    scene, offset = res
+    gscene = _grad_pixels_pallas_tbl(scene, cfg, g, interpret=interpret,
+                                     offset=offset, count=count)
+    g_offset = np.zeros(np.shape(offset), jax.dtypes.float0)
+    return (gscene, g_offset)
+
+
+render_tiles_pallas_ad.defvjp(_tiles_ad_fwd, _tiles_ad_bwd)

@@ -107,3 +107,23 @@ def test_sharded_pallas_grad_matches_single_device():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=1e-8)
+
+
+def test_packed_loss_and_grad_matches_flat():
+    # The native-layout training step (no (P, 3) lane-padded arrays or
+    # transposes): loss and every gradient leaf must match the flat-layout
+    # fused path up to reduction order.  Width NOT a multiple of 128 so the
+    # tail-pad mask is exercised.
+    from raytpu.grad import (loss_and_grad_pallas, loss_and_grad_pallas_packed,
+                             pack_target)
+
+    cfg = RenderConfig(width=40, height=6, max_depth=2, alias_factor=2)
+    scene = default_scene()
+    target = _target(scene, cfg) * 1.15
+    l1, g1 = loss_and_grad_pallas(scene, cfg, target)
+    l2, g2 = loss_and_grad_pallas_packed(scene, cfg, pack_target(cfg, target))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-9)
