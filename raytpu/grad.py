@@ -148,8 +148,10 @@ def _sharded_grad_fn(cfg: RenderConfig, mesh, backend: str = "jnp",
 
     backend="pallas" puts the fused forward+backward kernel pair inside the
     shard_map body (each shard renders/differentiates its own pixel block via
-    the per-shard offset); "jnp" uses the XLA-autodiff tracer.  `interpret`
-    runs the kernels in interpret mode (the off-TPU sanitizer path)."""
+    the per-shard offset); "wavefront" does the same with the differentiable
+    wavefront tracer (large scenes / deep trees — no sphere-count cap);
+    "jnp" uses the XLA-autodiff tracer.  `interpret` runs the kernels in
+    interpret mode (the off-TPU sanitizer path)."""
 
     if backend == "pallas":
         from raytpu.kernels.trace_pallas import render_pixels_pallas_ad
@@ -162,6 +164,18 @@ def _sharded_grad_fn(cfg: RenderConfig, mesh, backend: str = "jnp",
 
         # check_vma=False: pallas_call outputs carry no varying-axis
         # metadata (same escape hatch as the sharded forward render).
+        render = jax.shard_map(body, mesh=mesh,
+                               in_specs=(P(), P(PIXEL_AXIS)),
+                               out_specs=P(PIXEL_AXIS), check_vma=False)
+    elif backend == "wavefront":
+        from raytpu.kernels.wavefront import render_pixels_wavefront
+
+        per = cfg.num_pixels // int(mesh.devices.size)
+
+        def body(scene, gid):
+            return render_pixels_wavefront(scene, cfg, interpret=interpret,
+                                           offset=gid[0], count=per, ad=True)
+
         render = jax.shard_map(body, mesh=mesh,
                                in_specs=(P(), P(PIXEL_AXIS)),
                                out_specs=P(PIXEL_AXIS), check_vma=False)
@@ -197,12 +211,15 @@ def loss_and_grad_sharded(scene, cfg: RenderConfig, target_flat, mesh=None,
         raise ValueError(f"{p} pixels not divisible by mesh size {n}")
     small = scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES
     if backend == "auto":
-        backend = ("pallas" if _jax.default_backend() == "tpu" and small
-                   else "jnp")
+        if _jax.default_backend() == "tpu":
+            backend = "pallas" if small else "wavefront"
+        else:
+            backend = "jnp"
     if backend == "pallas" and not small:
         raise ValueError("pallas backend needs a sphere count within "
-                         "BWD_MAX_SPHERES")
-    interpret = backend == "pallas" and _jax.default_backend() != "tpu"
+                         "BWD_MAX_SPHERES; use backend='wavefront'")
+    interpret = (backend in ("pallas", "wavefront")
+                 and _jax.default_backend() != "tpu")
     gid = jnp.arange(p, dtype=jnp.int32)
     return _sharded_grad_fn(cfg, mesh, backend, interpret)(
         scene, gid, target_flat)
@@ -218,22 +235,30 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
     leaf; gradients of False leaves are zeroed (fit only what you perturb —
     letting adam wander opacity/IOR freely destabilises the render).
     `backend`: "auto" uses the fused Pallas forward+backward kernels on TPU
-    (sphere count within the kernels' unroll cap) — with or without a mesh;
-    the jnp autodiff path otherwise.  With a mesh, the fused kernels run
-    inside the shard_map body and the scene cotangents are psum'd.
+    (sphere count within the kernels' unroll cap; the differentiable
+    wavefront tracer beyond it) — with or without a mesh; the jnp autodiff
+    path otherwise.  "wavefront" forces the wavefront training path (large
+    scenes / deep trees).  With a mesh, the chosen kernels run inside the
+    shard_map body and the scene cotangents are psum'd.
     """
     import optax
 
     from raytpu.kernels.trace_pallas import BWD_MAX_SPHERES
 
+    small = scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES
     use_pallas = (mesh is None
                   and backend in ("auto", "pallas")
                   and jax.default_backend() == "tpu"
-                  and scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES)
+                  and small)
+    use_wavefront = (mesh is None
+                     and (backend == "wavefront"
+                          or (backend == "auto" and not small
+                              and jax.default_backend() == "tpu")))
     if backend == "pallas" and mesh is None and not use_pallas:
         raise ValueError("pallas fitting needs a TPU (or a mesh, where "
                          "interpret mode is allowed) and a sphere count "
-                         "within BWD_MAX_SPHERES")
+                         "within BWD_MAX_SPHERES; use backend='wavefront' "
+                         "for larger scenes")
 
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     opt_state = opt.init(scene)
@@ -249,6 +274,8 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
                 target_packed = pack_target(cfg, target_flat)
             loss, grads = loss_and_grad_pallas_packed(scene, cfg,
                                                       target_packed)
+        elif use_wavefront:
+            loss, grads = loss_and_grad_wavefront(scene, cfg, target_flat)
         else:
             loss, grads = loss_and_grad(scene, cfg, target_flat)
         if trainable is not None:

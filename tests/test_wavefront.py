@@ -169,3 +169,61 @@ def test_render_sharded_wavefront_matches_single():
     d = np.abs(sharded - single)
     assert (d.max(axis=-1) > 1e-3 * scale).mean() <= 0.005
     assert d.mean() < 1e-4 * scale
+
+
+def test_sharded_wavefront_grads_match_single_device():
+    # The large-scene distributed training path: the differentiable
+    # wavefront inside the shard_map body (per-shard pixel window), scene
+    # cotangents psum'd by the shard_map transpose.  Must agree with the
+    # single-device wavefront gradients (same kernel family).
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from raytpu.grad import loss_and_grad_sharded, loss_and_grad_wavefront
+    from raytpu.parallel.mesh import make_mesh
+
+    cfg = RenderConfig(width=32, height=8, max_depth=2, alias_factor=1)
+    scene = random_scene(12, num_lights=2, seed=7)
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    l1, g1 = loss_and_grad_wavefront(scene, cfg, target)
+    mesh = make_mesh(jax.devices()[:4])
+    l2, g2 = loss_and_grad_sharded(scene, cfg, target, mesh,
+                                   backend="wavefront")
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for (pa, a), (_, b) in zip(jtu.tree_leaves_with_path(g1),
+                               jtu.tree_leaves_with_path(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(a).max()), 1e-12)
+        assert np.abs(a - b).max() <= 2e-3 * scale, jtu.keystr(pa)
+
+
+def test_fit_scene_wavefront_backend_converges():
+    # fit_scene(backend="wavefront"): the large-scene training loop end to
+    # end (interpret mode off-TPU).  Recover a perturbed matte colour — the
+    # same smooth-parameter setup as examples/fit_scene.py, incl. the
+    # scale-appropriate adam eps (the linear image is ~1e-4 scale).
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from raytpu.grad import fit_scene
+    from raytpu.trace import render_pixels
+
+    cfg = RenderConfig(width=16, height=8, max_depth=1, alias_factor=1)
+    truth = default_scene()
+    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    target = render_pixels(truth, cfg, gid)
+    start = dataclasses.replace(
+        truth, spheres=dataclasses.replace(
+            truth.spheres, matte=truth.spheres.matte * 0.7))
+    trainable = jax.tree_util.tree_map(lambda _: False, truth)
+    trainable = dataclasses.replace(
+        trainable, spheres=dataclasses.replace(trainable.spheres,
+                                               matte=True))
+    _, losses = fit_scene(start, cfg, target, steps=8,
+                          backend="wavefront", trainable=trainable,
+                          optimizer=optax.adam(3e-2, eps=1e-16))
+    assert losses[-1] < 0.5 * losses[0]
