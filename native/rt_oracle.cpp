@@ -51,6 +51,34 @@ inline V3 hadamard(V3 a, V3 b) { return {a.x * b.x, a.y * b.y, a.z * b.z}; }
 //   bit 4: point = origin + t*dir / probe shifts as per-component fma
 static int g_fma_mask = 0;
 
+// Division/sqrt-precision experiment (the residual study's second half):
+// OpenCL on pre-IEEE-strict consumer GPUs only guarantees <= 2.5/3 ulp for
+// float '/' and sqrt, and the common lowerings are reciprocal-multiply and
+// rsqrt-multiply.  g_approx_mask switches those lowerings (and 1-ulp
+// sensitivity probes) on at every division/sqrt in the pixel hot path:
+//   bit 0: a/b      -> a * (1.0f/b)        (reciprocal-multiply)
+//   bit 1: sqrt(x)  -> x * (1.0f/sqrt(x))  (rsqrt-multiply; 0 stays 0)
+//   bit 2: quotients nudged 1 ulp up      (sensitivity probe)
+//   bit 3: quotients nudged 1 ulp down
+//   bit 4: sqrts nudged 1 ulp up
+//   bit 5: sqrts nudged 1 ulp down
+static int g_approx_mask = 0;
+
+inline float fdiv(float a, float b) {
+  float q = (g_approx_mask & 1) ? a * (1.0f / b) : a / b;
+  if (g_approx_mask & 4) q = std::nextafterf(q, INFINITY);
+  if (g_approx_mask & 8) q = std::nextafterf(q, -INFINITY);
+  return q;
+}
+
+inline float fsqrt(float x) {
+  float r = ((g_approx_mask & 2) && x > 0.0f) ? x * (1.0f / std::sqrt(x))
+                                              : std::sqrt(x);
+  if (g_approx_mask & 16) r = std::nextafterf(r, INFINITY);
+  if (g_approx_mask & 32) r = std::nextafterf(r, -INFINITY);
+  return r;
+}
+
 inline float dot(V3 a, V3 b) {
   if (g_fma_mask & 1)
     return std::fma(a.z, b.z, std::fma(a.y, b.y, a.x * b.x));
@@ -64,7 +92,7 @@ inline V3 madd(float t, V3 d, V3 o) {  // o + t*d, optionally contracted
   return o + t * d;
 }
 inline V3 unit(V3 a) {
-  float inv = 1.0f / std::sqrt(dot(a, a));
+  float inv = fdiv(1.0f, fsqrt(dot(a, a)));
   return inv * a;
 }
 
@@ -107,10 +135,10 @@ float sphereRoot(V3 o, V3 d, V3 c, float r, bool* ok) {
                                     : b * b - 4.0f * a * cc;
   float best = kBigT;
   if (radicand >= 0.0f) {
-    float root = std::sqrt(radicand);
+    float root = fsqrt(radicand);
     float den = 2.0f * a;
-    float u0 = (-b + root) / den;
-    float u1 = (-b - root) / den;
+    float u0 = fdiv(-b + root, den);
+    float u1 = fdiv(-b - root, den);
     if (u0 > kRayEps && u0 < best) best = u0;
     if (u1 > kRayEps && u1 < best) best = u1;
   }
@@ -163,7 +191,7 @@ V3 matteLightSum(const SceneView& s, V3 point, V3 normal) {
     V3 toLight = lp - point;
     float incidence = dot(normal, unit(toLight));
     if (incidence > 0.0f) {
-      float w = incidence / dot(toLight, toLight);
+      float w = fdiv(incidence, dot(toLight, toLight));
       total = total + w * s.lightCol(k);
     }
   }
@@ -194,7 +222,7 @@ float fresnelTerm(float n1, float n2, float c1, float c2, bool wide) {
   float num = (g_fma_mask & 8) ? std::fma(n1, c1, -right) : left - right;
   float den = (left + right) * (left + right);
   if (den < kFresnelEps) return 1.0f;
-  float refl = num * num / den;
+  float refl = fdiv(num * num, den);
   return refl > 1.0f ? 1.0f : refl;  // NaN stays NaN, as in the C cap
 }
 
@@ -227,7 +255,7 @@ Refraction refractAt(const SceneView& s, V3 point, V3 normal, V3 d,
     r.target = {{0, 0, 0}, 1.0f, s.bg.opacity};
   }
 
-  float ratio = mediumIor / r.target.ior;
+  float ratio = fdiv(mediumIor, r.target.ior);
   float s2 = ratio * s1;
 
   // Direction k solving k^2 + 2 c1 k + (1 - 1/ratio^2) = 0, picking the
@@ -236,7 +264,7 @@ Refraction refractAt(const SceneView& s, V3 point, V3 normal, V3 d,
   // reference's (algebra.h:45, raytracer.h:750-771).  A negative radicand
   // (TIR) gives NaN roots that never beat the floor, leaving dir = 0.
   float qb = 2.0f * c1;
-  float qc = 1.0f - 1.0f / (ratio * ratio);
+  float qc = 1.0f - fdiv(1.0f, ratio * ratio);
   float radicand = (g_fma_mask & 2) ? std::fma(qb, qb, -(4.0f * qc))
                                     : qb * qb - 4.0f * qc;
   float roots[2];
@@ -245,7 +273,7 @@ Refraction refractAt(const SceneView& s, V3 point, V3 normal, V3 d,
     roots[0] = -qb * 0.5f;
     nroots = 1;
   } else {
-    float root = std::sqrt(radicand);
+    float root = fsqrt(radicand);
     roots[0] = (-qb + root) * 0.5f;
     roots[1] = (-qb - root) * 0.5f;
     nroots = 2;
@@ -261,7 +289,7 @@ Refraction refractAt(const SceneView& s, V3 point, V3 normal, V3 d,
     }
   }
 
-  float c2 = std::sqrt(1.0f - s2 * s2);  // NaN when |s2| > 1
+  float c2 = fsqrt(1.0f - s2 * s2);  // NaN when |s2| > 1
   if (c1 < 0.0f) c2 = -c2;
   float rs = fresnelTerm(mediumIor, r.target.ior, c1, c2, wideFresnel);
   float rp = fresnelTerm(mediumIor, r.target.ior, c2, c1, wideFresnel);
@@ -326,6 +354,7 @@ extern "C" {
 
 // Select the FMA-contraction sites for the golden-residual experiment.
 void rt_set_fma_mask(int mask) { g_fma_mask = mask; }
+void rt_set_approx_mask(int mask) { g_approx_mask = mask; }
 
 // Render `count` pixels starting at flat id `offset` of a width x height
 // frame with the reference camera model (raytrace_kernel.cl:908-952).

@@ -61,6 +61,8 @@ def _load():
         lib.rt_render.restype = None
         lib.rt_set_fma_mask.argtypes = [ctypes.c_int]
         lib.rt_set_fma_mask.restype = None
+        lib.rt_set_approx_mask.argtypes = [ctypes.c_int]
+        lib.rt_set_approx_mask.restype = None
         _lib = lib
     return _lib
 
@@ -70,6 +72,13 @@ def set_fma_mask(mask: int) -> None:
     experiment; see rt_oracle.cpp's g_fma_mask bit table).  0 = the plain
     strict semantics every bit-parity test pins."""
     _load().rt_set_fma_mask(int(mask))
+
+
+def set_approx_mask(mask: int) -> None:
+    """Select approximate division/sqrt lowerings (the residual study's
+    GPU-precision experiment; rt_oracle.cpp g_approx_mask bit table).
+    0 = correctly-rounded IEEE, the pinned strict semantics."""
+    _load().rt_set_approx_mask(int(mask))
 
 
 def _pack_tables(scene):

@@ -81,6 +81,21 @@ def test_native_fma_mask_restores_strict():
     assert not np.array_equal(base, contracted)  # the knob does something
 
 
+def test_native_approx_mask_restores_strict():
+    """The div/sqrt-precision experiment knob (divsqrt_study) must not leak:
+    after a sweep the mask returns to 0 and the oracle stays bit-exact."""
+    from raytpu.native import set_approx_mask
+    scene = default_scene(bg_opacity=0.0)
+    cfg = RenderConfig(width=32, height=24)
+    base = render_native(scene, cfg, cap=5, fresnel_double=False)
+    set_approx_mask(4)  # quotients +1 ulp
+    nudged = render_native(scene, cfg, cap=5, fresnel_double=False)
+    set_approx_mask(0)
+    back = render_native(scene, cfg, cap=5, fresnel_double=False)
+    np.testing.assert_array_equal(base, back)
+    assert not np.array_equal(base, nudged)
+
+
 def test_native_nondefault_world_plane():
     # RenderConfig.image_world_width/height must reach the C ABI (the
     # reference hard-codes 16x12 in-kernel, raytrace_kernel.cl:910-911).
