@@ -751,29 +751,18 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "interpret", "count"))
-def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
-                         offset=0, count: int | None = None):
-    """Render `count` pixels starting at flat pixel id `offset` with the
-    fused kernel -> (count, 3) colours.
-
-    The scene rides in as two packed SMEM tables; sphere/light counts and
-    every config knob are compile-time constants, as in the reference where
-    they are kernel arguments resolved per launch (main.cpp:338-350).
-    `offset` is a traced scalar so a shard_map body can render its own pixel
-    shard (count = pixels per device, offset = shard base).
-    """
+def _forward_tiles(scene, cfg: RenderConfig, interpret: bool, offset,
+                   count: int):
+    """The fused forward kernel launch: (3, tiles*TILE_ROWS, LANES) native
+    tiled output for pixels [offset, offset+count)."""
     n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
     offset_tbl = jnp.asarray(offset, jnp.int32).reshape(1, 1)
-
-    p = cfg.num_pixels
-    if count is None:
-        count = p
     tiles = -(-count // TILE_PIXELS)
 
-    kernel = _make_kernel(cfg, n_spheres, n_lights, p)
-    out = pl.pallas_call(
+    kernel = _make_kernel(cfg, n_spheres, n_lights, cfg.num_pixels)
+    return pl.pallas_call(
         kernel,
         grid=(tiles,),
         compiler_params=pltpu.CompilerParams(
@@ -794,6 +783,22 @@ def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
                                        jnp.float32),
         interpret=interpret,
     )(scene_tbl, scene_tbl, lights_tbl, bg_tbl, offset_tbl)
+
+
+def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
+                         offset=0, count: int | None = None):
+    """Render `count` pixels starting at flat pixel id `offset` with the
+    fused kernel -> (count, 3) colours.
+
+    The scene rides in as two packed SMEM tables; sphere/light counts and
+    every config knob are compile-time constants, as in the reference where
+    they are kernel arguments resolved per launch (main.cpp:338-350).
+    `offset` is a traced scalar so a shard_map body can render its own pixel
+    shard (count = pixels per device, offset = shard base).
+    """
+    if count is None:
+        count = cfg.num_pixels
+    out = _forward_tiles(scene, cfg, interpret, offset, count)
     # (3, rows, lanes) -> (count, 3)
     return out.reshape(3, -1).T[:count]
 
@@ -1174,34 +1179,9 @@ def render_tiles_pallas_ad(scene, cfg: RenderConfig, interpret: bool = False,
     shape — no lane-padded (P, 3) arrays or transposes anywhere in the
     autodiff path.  Same offset/count shard contract as
     render_pixels_pallas_ad."""
-    n_spheres = scene.spheres.pos.shape[0]
-    n_lights = scene.lights.pos.shape[0]
-    scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
-    offset_tbl = jnp.asarray(offset, jnp.int32).reshape(1, 1)
-    p = cfg.num_pixels
     if count is None:
-        count = p
-    tiles = -(-count // TILE_PIXELS)
-    kernel = _make_kernel(cfg, n_spheres, n_lights, p)
-    return pl.pallas_call(
-        kernel,
-        grid=(tiles,),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((3, TILE_ROWS, LANES),
-                               lambda t: (0, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, tiles * TILE_ROWS, LANES),
-                                       jnp.float32),
-        interpret=interpret,
-    )(scene_tbl, scene_tbl, lights_tbl, bg_tbl, offset_tbl)
+        count = cfg.num_pixels
+    return _forward_tiles(scene, cfg, interpret, offset, count)
 
 
 def _tiles_ad_fwd(scene, cfg, interpret, offset, count):
