@@ -76,7 +76,7 @@ def main():
         _packed = {}
 
         def _lg(s, c, t):
-            key = (c.width, c.height, c.max_depth)
+            key = (c, id(t))  # RenderConfig is frozen/hashable
             if key not in _packed:
                 _packed[key] = pack_target(c, t)
             return loss_and_grad_pallas_packed(s, c, _packed[key])

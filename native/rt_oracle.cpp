@@ -55,7 +55,14 @@ static int g_fma_mask = 0;
 // OpenCL on pre-IEEE-strict consumer GPUs only guarantees <= 2.5/3 ulp for
 // float '/' and sqrt, and the common lowerings are reciprocal-multiply and
 // rsqrt-multiply.  g_approx_mask switches those lowerings (and 1-ulp
-// sensitivity probes) on at every division/sqrt in the pixel hot path:
+// sensitivity probes) on at the per-bounce division/sqrt sites: unit(),
+// sphereRoot's sqrt + two quotients, the matte 1/dist^2, the float Fresnel
+// quotient, refractAt's ratio / 1-1/ratio^2 / both sqrts (the double-sqrt
+// s1 keeps its pinned semantics but its float result takes the nudges).
+// Deliberately excluded: the camera-plane constants (xstep/ystep/aspect/
+// sub) — per-frame constants every work-item computes identically, so a
+// nudge there shifts all primary rays uniformly and probes nothing about
+// per-pixel rounding.
 //   bit 0: a/b      -> a * (1.0f/b)        (reciprocal-multiply)
 //   bit 1: sqrt(x)  -> x * (1.0f/sqrt(x))  (rsqrt-multiply; 0 stays 0)
 //   bit 2: quotients nudged 1 ulp up      (sensitivity probe)
@@ -71,12 +78,16 @@ inline float fdiv(float a, float b) {
   return q;
 }
 
-inline float fsqrt(float x) {
-  float r = ((g_approx_mask & 2) && x > 0.0f) ? x * (1.0f / std::sqrt(x))
-                                              : std::sqrt(x);
+inline float nudgeSqrt(float r) {
   if (g_approx_mask & 16) r = std::nextafterf(r, INFINITY);
   if (g_approx_mask & 32) r = std::nextafterf(r, -INFINITY);
   return r;
+}
+
+inline float fsqrt(float x) {
+  float r = ((g_approx_mask & 2) && x > 0.0f) ? x * (1.0f / std::sqrt(x))
+                                              : std::sqrt(x);
+  return nudgeSqrt(r);
 }
 
 inline float dot(V3 a, V3 b) {
@@ -243,7 +254,10 @@ Refraction refractAt(const SceneView& s, V3 point, V3 normal, V3 d,
     c1 = 1.0f;
     s1 = 0.0f;
   } else {
-    s1 = static_cast<float>(std::sqrt(1.0 - static_cast<double>(c1 * c1)));
+    // Double-sqrt semantics pinned (raytracer.h:663-684); the float
+    // result still responds to the 1-ulp sensitivity probes.
+    s1 = nudgeSqrt(static_cast<float>(
+        std::sqrt(1.0 - static_cast<double>(c1 * c1))));
   }
 
   V3 probe = madd(kShift, d, point);

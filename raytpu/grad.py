@@ -262,16 +262,16 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
 
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     opt_state = opt.init(scene)
+    if use_pallas:
+        # Pack the (constant) target into the kernel's native tiled layout
+        # once; every step then runs transpose-free.
+        target_packed = pack_target(cfg, target_flat)
     losses = []
     for step in range(steps):
         if mesh is not None:
             loss, grads = loss_and_grad_sharded(scene, cfg, target_flat, mesh,
                                                 backend=backend)
         elif use_pallas:
-            if step == 0:
-                # Pack the (constant) target into the kernel's native tiled
-                # layout once; every step then runs transpose-free.
-                target_packed = pack_target(cfg, target_flat)
             loss, grads = loss_and_grad_pallas_packed(scene, cfg,
                                                       target_packed)
         elif use_wavefront:

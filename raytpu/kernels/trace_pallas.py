@@ -785,6 +785,8 @@ def _forward_tiles(scene, cfg: RenderConfig, interpret: bool, offset,
     )(scene_tbl, scene_tbl, lights_tbl, bg_tbl, offset_tbl)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "count"))
 def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
                          offset=0, count: int | None = None):
     """Render `count` pixels starting at flat pixel id `offset` with the
@@ -799,8 +801,7 @@ def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
     if count is None:
         count = cfg.num_pixels
     out = _forward_tiles(scene, cfg, interpret, offset, count)
-    # (3, rows, lanes) -> (count, 3)
-    return out.reshape(3, -1).T[:count]
+    return unpack_pixel_tiles(out, count)
 
 
 def render_image_pallas(scene, cfg: RenderConfig, interpret: bool = False):
@@ -1017,10 +1018,7 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
     contribute nothing to the accumulated scene gradients."""
     if count is None:
         count = cfg.num_pixels
-    tiles = -(-count // TILE_PIXELS)
-    pad = tiles * TILE_PIXELS - count
-    g_pad = jnp.pad(g, ((0, pad), (0, 0)))        # zero cotangent on tail
-    g_tbl = g_pad.T.reshape(3, tiles * TILE_ROWS, LANES)
+    g_tbl = pack_pixel_tiles(g, count)            # zero cotangent on tail
     return _grad_pixels_pallas_tbl(scene, cfg, g_tbl, interpret, offset,
                                    count)
 
@@ -1178,7 +1176,9 @@ def render_tiles_pallas_ad(scene, cfg: RenderConfig, interpret: bool = False,
     returns (3, tiles*TILE_ROWS, LANES) and takes its cotangent in the same
     shape — no lane-padded (P, 3) arrays or transposes anywhere in the
     autodiff path.  Same offset/count shard contract as
-    render_pixels_pallas_ad."""
+    render_pixels_pallas_ad.  Tail-pad lanes (count not a multiple of
+    TILE_PIXELS) re-render the last pixel; the backward masks their
+    cotangent to zero so they never contribute to scene gradients."""
     if count is None:
         count = cfg.num_pixels
     return _forward_tiles(scene, cfg, interpret, offset, count)
@@ -1191,6 +1191,13 @@ def _tiles_ad_fwd(scene, cfg, interpret, offset, count):
 
 def _tiles_ad_bwd(cfg, interpret, count, res, g):
     scene, offset = res
+    n = cfg.num_pixels if count is None else count
+    if n % TILE_PIXELS:
+        # Tail-pad lanes re-render pixel n-1; an unmasked cotangent there
+        # would count that pixel's scene gradient once per pad lane.  The
+        # packed loss masks them anyway — this makes the API safe for any
+        # caller (e.g. grad of a plain sum over the tiled output).
+        g = g * tile_mask(n)
     gscene = _grad_pixels_pallas_tbl(scene, cfg, g, interpret=interpret,
                                      offset=offset, count=count)
     g_offset = np.zeros(np.shape(offset), jax.dtypes.float0)

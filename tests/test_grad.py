@@ -127,3 +127,23 @@ def test_packed_loss_and_grad_matches_flat():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-9)
+
+
+def test_tiled_ad_masks_tail_cotangent():
+    # Grad of a PLAIN sum over the tiled output must equal grad of the sum
+    # over the flat (count, 3) output: tail-pad lanes re-render the last
+    # pixel and their cotangent must not multiply-count its scene gradient.
+    from raytpu.kernels.trace_pallas import (render_pixels_pallas_ad,
+                                             render_tiles_pallas_ad)
+
+    cfg = RenderConfig(width=40, height=6, max_depth=1, alias_factor=1)
+    scene = default_scene()
+    interp = jax.default_backend() != "tpu"
+    g1 = jax.grad(lambda s: jnp.sum(
+        render_tiles_pallas_ad(s, cfg, interp)))(scene)
+    g2 = jax.grad(lambda s: jnp.sum(
+        render_pixels_pallas_ad(s, cfg, interp)))(scene)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-10)
