@@ -30,6 +30,15 @@ def main():
                          "gradients, converges to ~0); geometry: also "
                          "positions/radii (silhouette sub-gradients, partial)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="shard the fit over the first N devices "
+                         "(scene replicated, pixel grid sharded, scene "
+                         "cotangents psum'd)")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "jnp", "pallas", "wavefront"],
+                    help="gradient backend: fused dense kernels, the "
+                         "differentiable wavefront (large scenes), or the "
+                         "jnp autodiff tracer")
     ap.add_argument("--checkpoint", default=None,
                     help="path to save/restore fit state every 10 steps")
     args = ap.parse_args()
@@ -94,9 +103,14 @@ def main():
     # scale-appropriate eps restores adam's scale invariance.
     import optax
     opt = optax.adam(args.lr, eps=1e-16)
+    mesh = None
+    if args.mesh:
+        from raytpu.parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[:args.mesh])
     fitted, losses = fit_scene(scene, cfg, target, steps=args.steps,
                                learning_rate=args.lr, callback=cb,
-                               trainable=trainable, optimizer=opt)
+                               trainable=trainable, optimizer=opt,
+                               mesh=mesh, backend=args.backend)
     print(f"loss: {start:.3e} -> {losses[-1]:.3e} "
           f"({start / max(losses[-1], 1e-30):.1f}x reduction)")
     err = np.abs(np.asarray(fitted.spheres.pos) - np.asarray(truth.spheres.pos))
