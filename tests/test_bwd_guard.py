@@ -48,3 +48,45 @@ def test_bwd_kernel_vs_finite_differences():
         if abs(numeric) > 1e-10:
             assert abs(analytic[ci] - numeric) <= 0.05 * abs(numeric) + 1e-10, \
                 f"coord {ci}: {analytic[ci]} vs {numeric}"
+
+
+def test_bwd_kernel_n1024_finite_differences():
+    """BWD_MAX_SPHERES is 4096 (a VMEM guard, not an unroll cap); pin that
+    the loop-based backward stays correct well past the old 256 cap: fused
+    gradients at N=1024 against central differences on smooth coordinates
+    (matte of the nearest sphere).  jnp-vs-pallas grad comparison is NOT
+    used here — separately compiled programs flip near-tangent branches
+    and the deviation says nothing about either path's correctness."""
+    import dataclasses
+
+    from raytpu.scene import random_scene
+
+    cfg = RenderConfig(width=64, height=8, max_depth=1, alias_factor=1)
+    scene = random_scene(1024, num_lights=2, seed=11)
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+
+    def loss_of_matte(matte):
+        sph = dataclasses.replace(scene.spheres, matte=matte)
+        s2 = dataclasses.replace(scene, spheres=sph)
+        err = render_pixels_pallas_ad(s2, cfg, True) - target
+        return jnp.mean(err * err)
+
+    matte = scene.spheres.matte
+    analytic = np.asarray(jax.grad(loss_of_matte)(matte), np.float64)
+    flat = np.asarray(matte, np.float64)
+    eps = 1e-2  # matte is linear in the emission: central diff is exact
+    checked = 0
+    # Probe the largest-gradient coordinates (spheres actually visible).
+    order = np.argsort(-np.abs(analytic).ravel())[:3]
+    for ci in order:
+        i, c = divmod(int(ci), 3)
+        up = flat.copy(); up[i, c] += eps
+        dn = flat.copy(); dn[i, c] -= eps
+        numeric = (float(loss_of_matte(jnp.asarray(up, jnp.float32)))
+                   - float(loss_of_matte(jnp.asarray(dn, jnp.float32)))) \
+            / (2 * eps)
+        if abs(numeric) > 1e-15:
+            assert abs(analytic[i, c] - numeric) <= 0.05 * abs(numeric), \
+                f"({i},{c}): {analytic[i, c]} vs {numeric}"
+            checked += 1
+    assert checked >= 2
