@@ -1,18 +1,23 @@
-"""Per-tile conservative sphere culling for the wavefront tracer.
+"""Per-tile conservative sphere culling: tested building blocks, NOT wired
+into the shipped wavefront.
 
-The wavefront path sorts rays between bounce levels (wavefront.py), so the
-rays inside one (WF_BLOCK_ROWS x 128) kernel tile are spatially coherent:
-camera rays at level 0 share one origin and a narrow direction cone, and
-deeper levels are co-sorted by (origin grid cell, direction octant).  That
-coherence is what makes *tile-granular* sphere culling effective where
-chunk-granular culling over unsorted rays measured dead (BASELINE.md
-"acceleration-structure study": divergent chunks keep 79-95% of sphere
-blocks live; sorted tiles don't).
+These pieces were built for tile-granular sphere culling over the
+wavefront's sorted ray order, then MEASURED and left unwired
+(tools/cull_sim.py; BASELINE.md "acceleration-structure study"): interval
+beam tests cull only block-ordered *camera* tiles at level 0 (37/256
+spheres live on config 5), and after one bounce the per-tile direction
+spread defeats them at every granularity tried (137-253/256 live even
+with fine direction keys at 1024-ray tiles).  The shipped compaction key
+is (dead | pixel_id) — wavefront.py:_compact — not the spatial bin_key
+below.  The blocks stay here, tested, for a future sparser/coherent-er
+scene where they would pay; tools/probe_mosaic.py proves the kernel-side
+pieces (dynamic-bound fori, per-tile SMEM tables) lower on Mosaic.
 
 Everything here runs in XLA between Pallas kernel launches:
 
-  * `bin_key` — the per-ray sort key (dead | origin cell | direction
-    octant) used by wavefront compaction at levels >= 1;
+  * `bin_key` — a per-ray spatial sort key (dead | origin cell | direction
+    octant) — the compaction key a culling-enabled wavefront would use at
+    levels >= 1;
   * `tile_bounds` — per-tile interval bounds of ray origin/direction;
   * `beam_live_mask` — a conservative (tiles, N) liveness test: sphere s is
     marked dead for a tile only when NO ray with origin in the tile's

@@ -216,7 +216,9 @@ def _wf_level_call(scene_tbl, lights_tbl, bg_tbl, state, n_spheres: int,
 
 
 def _make_wf_bwd_kernel(n_spheres: int, n_lights: int, spawn: bool):
-    n_ch = N_STATE if spawn else 0
+    # Only the 9 differentiable child state fields carry cotangents; the
+    # medium-index field's is provably zero and is not shipped at all.
+    n_ch = 9 if spawn else 0
 
     def kernel(scene_ref, scene_vmem_ref, lights_ref, bg_ref, *refs):
         state_refs = refs[:N_STATE]
@@ -273,7 +275,7 @@ def _make_wf_bwd_kernel(n_spheres: int, n_lights: int, spawn: bool):
         @pl.when(alive)
         def _():
             cot_em = tuple(r_[:] for r_ in emct_refs)
-            cot_ch = tuple(r_[:] for r_ in chct_refs[:9])
+            cot_ch = tuple(r_[:] for r_ in chct_refs)
             _, vjp = jax.vjp(fn, sv, lv, bgv, state[:9])
             d_sv, d_lv, d_bgv, d_st9 = vjp((cot_em, cot_ch))
             for k in range(9):
@@ -306,7 +308,10 @@ def _wf_level_bwd_call(scene_tbl, lights_tbl, bg_tbl, state, em_ct, ch_ct,
     to2d = lambda xs, nr: tuple(x.reshape(nr * tiles, LANES) for x in xs)
     state2d = to2d(state, WF_BLOCK_ROWS)
     emct2d = to2d(em_ct, WF_BLOCK_ROWS)
-    chct2d = to2d(ch_ct, 2 * WF_BLOCK_ROWS) if spawn else ()
+    # ch_ct[9] (the discrete medium-index field) is identically zero —
+    # the next level's backward writes it as zeros and the sort transpose
+    # only permutes it — so only 9 blocks ride the DMA.
+    chct2d = to2d(ch_ct[:9], 2 * WF_BLOCK_ROWS) if spawn else ()
 
     blk = lambda nr: pl.BlockSpec((nr, LANES), lambda t: (t, 0),
                                   memory_space=pltpu.VMEM)
@@ -317,7 +322,7 @@ def _wf_level_bwd_call(scene_tbl, lights_tbl, bg_tbl, state, em_ct, ch_ct,
          pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [blk(WF_BLOCK_ROWS)] * N_STATE
         + [blk(WF_BLOCK_ROWS)] * 3
-        + [blk(2 * WF_BLOCK_ROWS)] * (N_STATE if spawn else 0))
+        + [blk(2 * WF_BLOCK_ROWS)] * (9 if spawn else 0))
     out_specs = ([blk(WF_BLOCK_ROWS)] * N_STATE
                  + [pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -388,8 +393,10 @@ def _compact(children, pid, cap: int):
     scatter indices sorted and live tiles spatially coherent.  Returns
     (state, pid, n_dropped_live).
 
-    The permutation moves every field through the sort network itself (a
-    16-operand co-sort, ~46 ms per 4M rays on v5e).  That is the
+    The permutation moves every field through the sort network itself
+    (an 11-operand co-sort: key + the 10 compressed state fields — the
+    original 16-operand form measured ~46 ms per 4M rays on v5e, and the
+    two state-compression passes cut ~16% off that).  That is the
     TPU-shaped permute: every payload rides the sort's vector ops in
     lockstep, all operands stay 1-D (lane-dense).  The tempting
     alternative — sort (key, iota) cheaply, then apply the permutation
@@ -424,15 +431,23 @@ _SCATTER_SEGS = 4
 
 
 def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool,
-                       segmented: bool):
+                       live=None):
     """acc[c][pid] += em[c], three 1-D scatter-adds ((npix, 3) would pad
     its minor dim to 128 lanes — a 1 GB accumulator at 2M pixels).
 
-    With `segmented` (compacted levels: dead rays hold the tail), the ray
-    range is split into _SCATTER_SEGS cond-guarded segments, so the dead
-    tail's scatters are skipped wholesale — the scatter is the priciest
-    glue op (~18 ms per 2M rays per channel in situ) and at deep levels
-    most of the range is dead."""
+    With `live` (the rays' intensity channels; compacted levels, where
+    dead rays hold the tail), the ray range is split into _SCATTER_SEGS
+    cond-guarded segments and a segment whose rays are ALL dead is skipped
+    wholesale — the scatter is the priciest glue op (~18 ms per 2M rays
+    per channel in situ) and at deep levels most of the range is dead.
+
+    The skip must be gated on ray LIVENESS, not on the emissions being
+    zero: a live ray can emit exact zeros (black matte / black background)
+    while its emission still carries a nonzero cotangent into the scene
+    parameters (d em / d matte = intensity != 0).  A zero-INTENSITY ray's
+    emission, by the module's exactness lemma, is identically zero as a
+    function — every partial is where-blocked or intensity-scaled — so
+    skipping truly dead segments is gradient-exact as well."""
     safe = jnp.minimum(pid, jnp.int32(npix - 1))
 
     def scat(acc, pid_seg, em_seg):
@@ -441,15 +456,15 @@ def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool,
             for a, e in zip(acc, em_seg))
 
     r = safe.shape[0]
-    if not segmented or r % _SCATTER_SEGS:
+    if live is None or r % _SCATTER_SEGS:
         return scat(acc, safe, em)
+    gate = jax.lax.stop_gradient(jnp.abs(live[0]) + jnp.abs(live[1])
+                                 + jnp.abs(live[2]))
     seg = r // _SCATTER_SEGS
     for s in range(_SCATTER_SEGS):
         em_seg = tuple(e[s * seg:(s + 1) * seg] for e in em)
         pid_seg = safe[s * seg:(s + 1) * seg]
-        any_live = jnp.max(jnp.abs(em_seg[0])
-                           + jnp.abs(em_seg[1])
-                           + jnp.abs(em_seg[2])) > 0
+        any_live = jnp.max(gate[s * seg:(s + 1) * seg]) > 0
         acc = jax.lax.cond(any_live,
                            lambda a, p=pid_seg, e=em_seg: scat(a, p, e),
                            lambda a: a, acc)
@@ -477,7 +492,9 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
         raise ValueError("wavefront sort key packs pixel ids into 30 bits")
     total = npix * cfg.samples_per_pixel
     chunk = _align_up(min(chunk_rays, total), WF_BLOCK)
-    cap = _align_up(capacity_factor * chunk, WF_BLOCK)
+    # int() so a float factor (e.g. 2.0) cannot poison the static slice
+    # bounds downstream in _compact.
+    cap = _align_up(int(capacity_factor * chunk), WF_BLOCK)
     n_chunks = -(-total // chunk)
     offset = jnp.int32(offset)
 
@@ -513,10 +530,12 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                     scene_tbl, lights_tbl, bg_tbl, state, n_spheres,
                     n_lights, spawn, interpret)
             # Post-compaction levels have dead rays grouped at the tail,
-            # so their emission scatters run cond-guarded per segment.
+            # so their emission scatters run cond-guarded per segment
+            # (gated on the rays' intensity — see _scatter_emissions).
             acc = _scatter_emissions(acc, em, pid, npix,
                                      sorted_ids=pid_sorted,
-                                     segmented=pid_sorted)
+                                     live=(state[6:9] if pid_sorted
+                                           else None))
             if not spawn:
                 break
             r = state[0].shape[0]
@@ -573,7 +592,9 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
         eager_sort=eager_sort, interpret=interpret, offset=offset,
         count=count, ad=ad)
     if return_info:
-        return img, dict(dropped=int(dropped))
+        # `dropped` stays a device scalar so return_info works under
+        # jit/shard_map (int() would force concretization there).
+        return img, dict(dropped=dropped)
     return img
 
 

@@ -227,3 +227,29 @@ def test_fit_scene_wavefront_backend_converges():
                           backend="wavefront", trainable=trainable,
                           optimizer=optax.adam(3e-2, eps=1e-16))
     assert losses[-1] < 0.5 * losses[0]
+
+
+def test_wavefront_black_matte_grads_not_dropped():
+    # The segmented scatter skip must gate on ray LIVENESS, not on the
+    # emissions being zero: a live ray with black matte emits exact zeros
+    # whose cotangent into d(matte) is nonzero (d em/d matte = intensity).
+    # With the old emission-magnitude gate this scene lost 99.9% of the
+    # matte gradient (bounce levels silently skipped).
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from raytpu.grad import loss_and_grad_pallas, loss_and_grad_wavefront
+
+    cfg = RenderConfig(width=64, height=8, max_depth=3, alias_factor=1)
+    s = random_scene(24, num_lights=2, seed=5)
+    sph = dataclasses.replace(
+        s.spheres, matte=jnp.zeros_like(s.spheres.matte),
+        opacity=jnp.full_like(s.spheres.opacity, 0.5))
+    s = dataclasses.replace(s, spheres=sph)
+    target = jnp.ones((cfg.num_pixels, 3), jnp.float32) * 1e-4
+    _, gw = loss_and_grad_wavefront(s, cfg, target, chunk_rays=1024)
+    _, gp = loss_and_grad_pallas(s, cfg, target)
+    a, b = np.asarray(gw.spheres.matte), np.asarray(gp.spheres.matte)
+    scale = max(float(np.abs(b).max()), 1e-20)
+    assert np.abs(a - b).max() <= 1e-3 * scale

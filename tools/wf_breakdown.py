@@ -105,7 +105,7 @@ def main():
     def scatter(acc, em, pid, salt):
         e = (em[0] + salt,) + em[1:]
         return _scatter_emissions(acc, e, pid, r // 2, sorted_ids=True,
-                                  segmented=True)
+                                  live=e)
 
     def dup(pid, salt):
         return (_dup_tilewise(pid, r // WF_BLOCK).astype(jnp.float32)
