@@ -16,9 +16,11 @@ the tracer it calls, fused into one Pallas kernel:
     each level doubles the sublane dimension (refraction children stacked
     on reflection children), emissions fold back onto the pixel tile by a
     row-block reduction.
-  * Supersampling runs as the innermost grid dimension, accumulating into
-    the output tile across sequential grid steps (TPU grids are sequential,
-    so read-modify-write accumulation is safe).
+  * Supersampling: the forward kernel runs all alias^2 samples in an
+    in-kernel fori_loop within one grid step (grid=(tiles,)); the backward
+    kernel keeps samples as a second grid dimension, accumulating scene
+    cotangents across sequential grid steps (TPU grids are sequential, so
+    read-modify-write accumulation is safe).
 
 Numerics match raytpu.trace's clean mode bit-for-bit-ish (same f32 op
 order); tests/test_pallas.py pins kernel-vs-jnp agreement.
@@ -39,12 +41,6 @@ from raytpu.config import RenderConfig
 LANES = 128
 TILE_ROWS = 8
 TILE_PIXELS = TILE_ROWS * LANES
-# Row granularity of the bounce tree's per-beam liveness conds (and of the
-# wide levels' live working set); must be a multiple of TILE_ROWS.  One
-# TILE_ROWS beam = the 2^level subtree sharing one bounce history for one
-# pixel tile — the natural coherence unit for dead-subtree skipping.
-EXIT_CHUNK = TILE_ROWS
-
 # Scene SMEM row layout: [pos_x, pos_y, pos_z, radius, matte_rgb x3,
 # gloss_rgb x3, opacity, ior]
 _S_PX, _S_PY, _S_PZ, _S_RAD = 0, 1, 2, 3
@@ -97,8 +93,8 @@ class _ScalarTable:
         return self.vals[row][i]
 
 
-def _sphere_loop(n, body, init, force_unroll=False):
-    if force_unroll or n <= UNROLL_SPHERES:
+def _sphere_loop(n, body, init):
+    if n <= UNROLL_SPHERES:
         carry = init
         for i in range(n):
             carry = body(i, carry)
@@ -132,6 +128,23 @@ def _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, inv2a, cx, cy, cz, rad):
     return t, t < _BIG_T
 
 
+def _hit_dict(found, min_t, ox, oy, oz, dx, dy, dz, cx, cy, cz,
+              mr, mg, mb, gr, gg, gb, op, ior):
+    """Shared hit assembly (point, normalized normal, field dict) — one
+    copy so the three closest-hit providers (_closest_hit, _SmemScene's
+    gather form, _VjpScene) stay structurally bit-identical, which the
+    fwd/bwd primal-equivalence contract depends on."""
+    hx = ox + min_t * dx
+    hy = oy + min_t * dy
+    hz = oz + min_t * dz
+    nx, ny, nz = hx - cx, hy - cy, hz - cz
+    n2 = nx * nx + ny * ny + nz * nz
+    inv = jax.lax.rsqrt(jnp.where(n2 == 0, f32(1.0), n2))
+    return dict(t=min_t, found=found, hx=hx, hy=hy, hz=hz,
+                nx=nx * inv, ny=ny * inv, nz=nz * inv,
+                mr=mr, mg=mg, mb=mb, gr=gr, gg=gg, gb=gb, op=op, ior=ior)
+
+
 def _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz):
     """calcIntersection (raytracer.h:145-194): fori over spheres carrying the
     running minimum plus the winning sphere's fields (strict '<' keeps the
@@ -162,16 +175,8 @@ def _closest_hit(scene, n_spheres, ox, oy, oz, dx, dy, dz):
     (min_t, found_m, cx, cy, cz, mr, mg, mb, gr, gg, gb, op, ior) = \
         _sphere_loop(n_spheres, body, init)
     found = found_m > 0
-
-    hx = ox + min_t * dx
-    hy = oy + min_t * dy
-    hz = oz + min_t * dz
-    nx, ny, nz = hx - cx, hy - cy, hz - cz
-    n2 = nx * nx + ny * ny + nz * nz
-    inv = jax.lax.rsqrt(jnp.where(n2 == 0, f32(1.0), n2))
-    return dict(t=min_t, found=found, hx=hx, hy=hy, hz=hz,
-                nx=nx * inv, ny=ny * inv, nz=nz * inv,
-                mr=mr, mg=mg, mb=mb, gr=gr, gg=gg, gb=gb, op=op, ior=ior)
+    return _hit_dict(found, min_t, ox, oy, oz, dx, dy, dz, cx, cy, cz,
+                     mr, mg, mb, gr, gg, gb, op, ior)
 
 
 def _shadow_blocked(scene, n_spheres, px, py, pz, lx, ly, lz, gap):
@@ -230,7 +235,12 @@ def _matte_sum(scn, lights, n_lights, hx, hy, hz, nx, ny, nz):
         inv = jax.lax.rsqrt(jnp.where(gap == 0, f32(1.0), gap))
         incidence = nx * ex * inv + ny * ey * inv + nz * ez * inv
         blocked = scn.shadow_blocked(hx, hy, hz, lx, ly, lz, gap)
-        w = jnp.where(~blocked & (incidence > 0), incidence / gap, f32(0.0))
+        # Double-where on the divide: at gap == 0 the primal is already
+        # masked (incidence is 0 there), but the unguarded division's vjp
+        # would emit 0 * (0/0) = NaN into the scene cotangents.
+        w = jnp.where(~blocked & (incidence > 0),
+                      incidence / jnp.where(gap == 0, f32(1.0), gap),
+                      f32(0.0))
         sr = sr + w * lights[3, l]
         sg = sg + w * lights[4, l]
         sb = sb + w * lights[5, l]
@@ -328,18 +338,11 @@ class _SmemScene:
                                       ox, oy, oz, dx, dy, dz)
         found = idx >= 0
         fields = _gather_cols(self.vals, idx)
-        cx, cy, cz = fields[_S_PX], fields[_S_PY], fields[_S_PZ]
-        hx = ox + min_t * dx
-        hy = oy + min_t * dy
-        hz = oz + min_t * dz
-        nx, ny, nz = hx - cx, hy - cy, hz - cz
-        n2 = nx * nx + ny * ny + nz * nz
-        inv = jax.lax.rsqrt(jnp.where(n2 == 0, f32(1.0), n2))
-        return dict(t=min_t, found=found, hx=hx, hy=hy, hz=hz,
-                    nx=nx * inv, ny=ny * inv, nz=nz * inv,
-                    mr=fields[_S_MR], mg=fields[_S_MG], mb=fields[_S_MB],
-                    gr=fields[_S_GR], gg=fields[_S_GG], gb=fields[_S_GB],
-                    op=fields[_S_OP], ior=fields[_S_IOR])
+        return _hit_dict(found, min_t, ox, oy, oz, dx, dy, dz,
+                         fields[_S_PX], fields[_S_PY], fields[_S_PZ],
+                         fields[_S_MR], fields[_S_MG], fields[_S_MB],
+                         fields[_S_GR], fields[_S_GG], fields[_S_GB],
+                         fields[_S_OP], fields[_S_IOR])
 
     def shadow_blocked(self, px, py, pz, lx, ly, lz, gap):
         return _shadow_blocked(self.scene, self.n, px, py, pz, lx, ly, lz,
@@ -359,7 +362,18 @@ class _SmemScene:
 # Ray-chunk bound for one gather's one-hot table: (N, 4096) f32 at N=256 is
 # 4 MB — wide bounce levels (512 rows at depth 6) would otherwise build
 # 32 MB one-hots, which blow scoped VMEM and stall the Mosaic compiler.
-_GATHER_CHUNK_ROWS = 32
+# The bound scales down with the sphere count so the one-hot (plus its
+# iota twin) stays ~<= 8 MB all the way to BWD_MAX_SPHERES=4096 — a fixed
+# 32 rows would mean a 64 MB one-hot there.  N <= 512 keeps the measured
+# 32-row behaviour unchanged.
+_GATHER_MAX_ROWS = 32
+
+
+def _gather_chunk_rows(n: int) -> int:
+    rows = _GATHER_MAX_ROWS
+    while rows > 4 and n * rows * LANES * 4 > (8 << 20):
+        rows //= 2
+    return rows
 
 
 def _gather_cols(table_vals, idx):
@@ -372,10 +386,11 @@ def _gather_cols(table_vals, idx):
     idx: (R, L) int32 -> returns (rows, R, L) float32.
     """
     r = idx.shape[0]
-    if r <= _GATHER_CHUNK_ROWS:
+    ch = _gather_chunk_rows(table_vals.shape[1])
+    if r <= ch:
         return _gather_cols_chunk(table_vals, idx)
-    parts = [_gather_cols_chunk(table_vals, idx[c0:c0 + _GATHER_CHUNK_ROWS])
-             for c0 in range(0, r, _GATHER_CHUNK_ROWS)]
+    parts = [_gather_cols_chunk(table_vals, idx[c0:c0 + ch])
+             for c0 in range(0, r, ch)]
     return jnp.concatenate(parts, axis=1)
 
 
@@ -424,18 +439,10 @@ class _VjpScene:
         t_w, _ = _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, _inv2a(a),
                                cx, cy, cz, rad)
         min_t = jnp.where(found, t_w, _MAX_DIST)
-
-        hx = ox + min_t * dx
-        hy = oy + min_t * dy
-        hz = oz + min_t * dz
-        nx, ny, nz = hx - cx, hy - cy, hz - cz
-        n2 = nx * nx + ny * ny + nz * nz
-        inv = jax.lax.rsqrt(jnp.where(n2 == 0, f32(1.0), n2))
-        return dict(t=min_t, found=found, hx=hx, hy=hy, hz=hz,
-                    nx=nx * inv, ny=ny * inv, nz=nz * inv,
-                    mr=fields[_S_MR], mg=fields[_S_MG], mb=fields[_S_MB],
-                    gr=fields[_S_GR], gg=fields[_S_GG], gb=fields[_S_GB],
-                    op=fields[_S_OP], ior=fields[_S_IOR])
+        return _hit_dict(found, min_t, ox, oy, oz, dx, dy, dz, cx, cy, cz,
+                         fields[_S_MR], fields[_S_MG], fields[_S_MB],
+                         fields[_S_GR], fields[_S_GG], fields[_S_GB],
+                         fields[_S_OP], fields[_S_IOR])
 
     def shadow_blocked(self, px, py, pz, lx, ly, lz, gap):
         # Visibility is a step function: zero gradient almost everywhere, so
@@ -702,8 +709,6 @@ def _camera_dirs(cfg: RenderConfig, gid, si, sj):
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
                  total_pixels: int):
     alias = cfg.alias_factor
-    w = cfg.width
-    h = cfg.height
 
     def kernel(scene_ref, scene_vmem_ref, lights_ref, bg_ref, offset_ref,
                out_ref):
@@ -882,11 +887,18 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
     # peak shapes to CHUNK rows.
     # 64 rows caps each vjp's AD-residual set (the dominant scoped-VMEM
     # consumer); larger sphere counts shrink the chunk further so the
-    # (N, CHUNK*LANES) one-hot gather tables stay ~<= 8 MB each.
-    CHUNK = max(TILE_ROWS,
-                min(8 * TILE_ROWS,
-                    (16384 // max(n_spheres, 1)) // TILE_ROWS
-                    * TILE_ROWS))
+    # (N, CHUNK*LANES) one-hot gather tables stay bounded.  CHUNK must be
+    # TILE_ROWS * 2^k: level widths are TILE_ROWS * 2^level, and a chunk
+    # size that doesn't divide them leaves a partial tail chunk whose
+    # shapes mismatch the full-CHUNK cotangents (jax.vjp shape error —
+    # e.g. N=300 used to pick CHUNK=48 against a 64-row level).
+    budget = max(TILE_ROWS,
+                 min(8 * TILE_ROWS,
+                     (16384 // max(n_spheres, 1)) // TILE_ROWS
+                     * TILE_ROWS))
+    CHUNK = TILE_ROWS
+    while CHUNK * 2 <= budget:
+        CHUNK *= 2
 
     d_sv = d_lv = d_bgv = None
     cot_children = ()

@@ -177,3 +177,33 @@ def test_backward_kernel_matches_jnp_autodiff():
         if mask.any():
             np.testing.assert_allclose(a[mask], b[mask], rtol=5e-2,
                                        atol=1e-12)
+
+
+def test_bwd_tile_grads_nondividing_chunk():
+    # N=300 picks a vjp row-chunk budget of 48 rows, which does not divide
+    # the power-of-two level widths; the chunk size must round down to
+    # TILE_ROWS * 2^k or the reverse sweep's final partial chunk mismatches
+    # its cotangent shapes (used to raise ValueError at trace time).
+    import jax.numpy as jnp
+
+    from raytpu.config import RenderConfig as RC
+    from raytpu.kernels.trace_pallas import (LANES, LIGHT_ROWS, TILE_ROWS,
+                                             _bwd_tile_grads, _camera_dirs,
+                                             _scene_tables)
+
+    n, depth = 300, 3
+    cfg = RC(width=LANES, height=TILE_ROWS, max_depth=depth, alias_factor=1)
+    scene = random_scene(n, seed=3)
+    tbl, ltbl, bgt = _scene_tables(scene)
+    n_lights = scene.lights.pos.shape[0]
+    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32).reshape(
+        TILE_ROWS, LANES)
+    dx, dy, dz = _camera_dirs(cfg, gid, jnp.int32(0), jnp.int32(0))
+    gw = tuple(jnp.ones((TILE_ROWS, LANES), jnp.float32) for _ in range(3))
+    lv = tuple(tuple(ltbl[r, l] for l in range(n_lights))
+               for r in range(LIGHT_ROWS))
+    bgv = tuple(bgt[k, 0] for k in range(5))
+    d_sv, d_lv, d_bgv = _bwd_tile_grads(tbl, tbl, lv, bgv, n, n_lights,
+                                        depth, dx, dy, dz, gw)
+    assert np.isfinite(np.asarray(d_sv)).all()
+    assert float(np.abs(np.asarray(d_sv)).sum()) > 0
