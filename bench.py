@@ -15,9 +15,29 @@ import time
 
 
 def main():
+    import os
     import threading
 
     import jax
+
+    # The tunnel can also die MID-bench (first compiles take 20-80 s and
+    # remote-compile crashes hang with no diagnostics — CLAUDE.md), which
+    # would stall past any single-step guard.  A whole-run deadline prints
+    # the honest failure line and hard-exits; generous enough (45 min) that
+    # a healthy run (~3-4 min) never trips it.
+    done = threading.Event()
+
+    def _deadline():
+        if not done.wait(timeout=2700):
+            print(json.dumps({
+                "metric": "Mrays/s/chip fwd+bwd 640x480 depth-4",
+                "value": None, "unit": "Mrays/s", "vs_baseline": None,
+                "error": "bench run exceeded 2700s deadline (TPU tunnel "
+                         "hung mid-run?)",
+            }), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_deadline, daemon=True).start()
 
     # The remote-TPU tunnel can be down; a hung jax.devices() would stall
     # the whole bench run forever.  Probe it with a watchdog and report an
@@ -41,7 +61,7 @@ def main():
                                "backend unreachable (device probe timed "
                                "out after 300s — TPU tunnel down?)"),
         }))
-        return 0
+        return 1
 
     import jax.numpy as jnp
 
@@ -186,6 +206,7 @@ def main():
         **meta,
     }
     print(json.dumps(result))
+    done.set()
     return 0
 
 

@@ -106,7 +106,12 @@ def main():
     mesh = None
     if args.mesh:
         from raytpu.parallel.mesh import make_mesh
-        mesh = make_mesh(jax.devices()[:args.mesh])
+        devices = jax.devices()
+        if len(devices) < args.mesh:
+            raise SystemExit(
+                f"--mesh {args.mesh} requested but only {len(devices)} "
+                f"device(s) available")
+        mesh = make_mesh(devices[:args.mesh])
     fitted, losses = fit_scene(scene, cfg, target, steps=args.steps,
                                learning_rate=args.lr, callback=cb,
                                trainable=trainable, optimizer=opt,

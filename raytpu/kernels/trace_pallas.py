@@ -371,7 +371,10 @@ _GATHER_MAX_ROWS = 32
 
 def _gather_chunk_rows(n: int) -> int:
     rows = _GATHER_MAX_ROWS
-    while rows > 4 and n * rows * LANES * 4 > (8 << 20):
+    # Floor at 1 row, not 4: the uncapped wavefront forward path has no
+    # sphere-count ceiling, and a 4-row floor would silently rebuild the
+    # >8 MB one-hots (N=32768 -> 64 MB) this bound exists to prevent.
+    while rows > 1 and n * rows * LANES * 4 > (8 << 20):
         rows //= 2
     return rows
 

@@ -585,8 +585,10 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     are bit-identical to an unsorted wavefront.  `offset`/`count` select a
     contiguous pixel window — the per-shard form for render_sharded
     (offset may be a traced scalar; count must be static).  With
-    `return_info`, also returns {'dropped': int} — live rays past
-    capacity (0 on every BASELINE config at the default factor)."""
+    `return_info`, also returns {'dropped': <int32 device scalar>} — live
+    rays past capacity (0 on every BASELINE config at the default factor);
+    it stays a device scalar so the call works under jit/shard_map —
+    int() it outside jit before serializing."""
     img, dropped = _render_wavefront_impl(
         scene, cfg, chunk_rays=chunk_rays, capacity_factor=capacity_factor,
         eager_sort=eager_sort, interpret=interpret, offset=offset,
