@@ -842,8 +842,16 @@ def render_image_pallas(scene, cfg: RenderConfig, interpret: bool = False):
 BWD_MAX_SPHERES = 4096
 
 
+def _bwd_alive(st):
+    """Whole-block liveness predicate for the backward early exit (module
+    level so the skip-exactness test can monkeypatch it to always-true and
+    bit-compare against the guarded run — same cond structure, so identical
+    compilation, isolating the predicate's effect)."""
+    return jnp.max(jnp.maximum(st[6], jnp.maximum(st[7], st[8]))) > 0
+
+
 def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
-                    dx, dy, dz, gw):
+                    dx, dy, dz, gw, early_exit=True):
     """Per-tile reverse sweep: gradients of sum(levels' emissions * gw) with
     respect to (sv, lv, bgv) plus nothing else — the pure orchestration the
     backward kernel runs per (tile, sample), extracted so tests can execute
@@ -856,7 +864,29 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
     Manual per-level rematerialization (jax.checkpoint's remat2 has no
     Pallas lowering): the forward stores only each level's input state; the
     reverse sweep re-runs one level at a time under a local jax.vjp, so AD
-    residuals never exceed one level's working set."""
+    residuals never exceed one level's working set.
+
+    Early exit, backward edition: every level/chunk (states build AND
+    reverse sweep) is guarded by a whole-block liveness cond, exactly like
+    the forward kernel's `guarded`.  Exact, by the same argument as the
+    forward's: an exactly-zero intensity only ever arises through a
+    where-mask or a clamped Fresnel factor (both zero local derivative) or
+    a product with such a zero — inductively from the all-live camera rays,
+    dead lanes carry zero intensity AND zero intensity-derivative, so an
+    all-dead block contributes exactly-zero scene cotangents and its true
+    input-state cotangents are either zero (positions/dirs/medium) or get
+    multiplied by zero-derivative masked paths in the parent's vjp
+    (intensities).  The cond wraps the jax.vjp CALL (this sweep is manual
+    orchestration, never itself differentiated), so Mosaic sees a plain
+    scf.if around straight-line code.  Pure-background tiles — most of a
+    typical frame — then skip every level past the first.
+
+    early_exit=False removes every cond, restoring a straight-line sweep:
+    the eager noise-free-vs-autodiff test needs it, because a cond branch is
+    compiled as one fused XLA sub-computation whose FMA-contraction choices
+    differ from eager op-by-op execution — flipping hit/shadow branches on
+    near-tangent lanes (the usual measure-zero noise class), which that
+    test's bit-level comparison cannot absorb."""
 
     def level_fn(sv_vals, lv_vals, bgv_vals, st, spawn):
         scn = _VjpScene(scene_sel, sv_vals, n_spheres)
@@ -876,7 +906,22 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
 
     states = [state0]
     for level in range(depth):
-        _, children = level_fn(sv, lv, bgv, states[level], True)
+        st = states[level]
+        if level == 0 or not early_exit:
+            _, children = level_fn(sv, lv, bgv, st, True)
+        else:
+            # Dead branch outputs derive from the operand (concat x 0), not
+            # constants: a cond output that is constant in one branch gets
+            # rewritten into a scalar-pred VECTOR select Mosaic cannot
+            # legalize (tools/mosaic_repros.py cond_vector_select); the
+            # operand-derived form lowers as a plain scf.if, like the
+            # forward kernel's `dead`.  x * 0 is exactly 0.0 for the finite
+            # values the tracer guarantees.
+            children = jax.lax.cond(
+                _bwd_alive(st),
+                lambda s: level_fn(sv, lv, bgv, s, True)[1],
+                lambda s: tuple(jnp.concatenate([x, x], axis=0) * f32(0.0)
+                                for x in s), st)
         states.append(children)
 
     def addt(a, b):
@@ -915,9 +960,28 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
             tuple(jnp.broadcast_to(g, (2 ** level, TILE_ROWS, LANES))
                   .reshape(rows_l, LANES) for g in gw)
 
+        def vjp_block(st_b, cc_b, guard):
+            def run(args):
+                st_, cc_ = args
+                _, vjp = jax.vjp(fn, sv, lv, bgv, st_)
+                return vjp((cot_em1, cc_))
+            if not guard:
+                return run((st_b, cc_b))
+
+            def dead(args):
+                # Operand-derived zeros, not constants — see the states
+                # build above (Mosaic cond_vector_select legalization).
+                st_, _ = args
+                z = jax.tree_util.tree_map(lambda x: x * f32(0.0),
+                                           (sv, lv, bgv))
+                return z + (jax.tree_util.tree_map(
+                    lambda x: x * f32(0.0), st_),)
+
+            return jax.lax.cond(_bwd_alive(st_b), run, dead, (st_b, cc_b))
+
         if rows_l <= CHUNK:
-            _, vjp = jax.vjp(fn, sv, lv, bgv, states[level])
-            ds, dl, db, cot_state = vjp((cot_em1, cot_children))
+            ds, dl, db, cot_state = vjp_block(states[level], cot_children,
+                                              early_exit and level > 0)
         else:
             cot_state_parts = []
             ds = dl = db = None
@@ -928,8 +992,7 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
                                      cc[rows_l + c0:rows_l + c0 + CHUNK]],
                                     axis=0)
                     for cc in cot_children) if spawn else ()
-                _, vjp = jax.vjp(fn, sv, lv, bgv, st_c)
-                ds_c, dl_c, db_c, cot_c = vjp((cot_em1, cc_c))
+                ds_c, dl_c, db_c, cot_c = vjp_block(st_c, cc_c, early_exit)
                 ds = ds_c if ds is None else addt(ds, ds_c)
                 dl = dl_c if dl is None else addt(dl, dl_c)
                 db = db_c if db is None else addt(db, db_c)

@@ -123,8 +123,12 @@ def test_backward_fori_gather_path_vs_autodiff():
                for r in range(LIGHT_ROWS))
     bgv = tuple(bgt[k, 0] for k in range(5))
 
+    # early_exit=False keeps the sweep straight-line: the liveness conds'
+    # branches compile as fused sub-computations whose FMA choices differ
+    # from this test's eager op-by-op reference (the usual near-tangent
+    # noise class); test_bwd_early_exit_skip_is_exact pins the guards.
     got = _bwd_tile_grads(tbl, tbl, lv, bgv, n, n_lights, depth,
-                          dx, dy, dz, gw)
+                          dx, dy, dz, gw, early_exit=False)
 
     def weighted_sum(sv_vals, lv_vals, bgv_vals):
         scn = _VjpScene(tbl, sv_vals, n)
@@ -207,3 +211,60 @@ def test_bwd_tile_grads_nondividing_chunk():
                                         depth, dx, dy, dz, gw)
     assert np.isfinite(np.asarray(d_sv)).all()
     assert float(np.abs(np.asarray(d_sv)).sum()) > 0
+
+
+def test_bwd_early_exit_skip_is_exact(monkeypatch):
+    """The backward early exit (whole-block liveness conds around each
+    level/chunk vjp, trace_pallas._bwd_tile_grads) drops ONLY exactly-zero
+    contributions: the guarded sweep bit-matches a sweep whose liveness
+    predicate is forced always-true.  Both runs share the same cond
+    structure, so their branch compilations are identical — the only
+    difference is which branch executes, isolating the skip semantics.
+    Covered scenes: fully-opaque spheres (transparency 0 spawns nothing, so
+    every level past 0 is a dead block) and the default scene (mixed)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import raytpu.kernels.trace_pallas as tp
+    from raytpu.config import RenderConfig as RC
+    from raytpu.kernels.trace_pallas import (LANES, LIGHT_ROWS, TILE_ROWS,
+                                             _bwd_tile_grads, _camera_dirs,
+                                             _scene_tables)
+
+    def run(scene, depth):
+        n = scene.spheres.pos.shape[0]
+        cfg = RC(width=LANES, height=TILE_ROWS, max_depth=depth,
+                 alias_factor=1)
+        tbl, ltbl, bgt = _scene_tables(scene)
+        n_lights = scene.lights.pos.shape[0]
+        gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32).reshape(
+            TILE_ROWS, LANES)
+        dx, dy, dz = _camera_dirs(cfg, gid, jnp.int32(0), jnp.int32(0))
+        gw = tuple(jnp.full((TILE_ROWS, LANES), 0.5 + k, jnp.float32)
+                   for k in range(3))
+        lv = tuple(tuple(ltbl[r, l] for l in range(n_lights))
+                   for r in range(LIGHT_ROWS))
+        bgv = tuple(bgt[k, 0] for k in range(5))
+        return _bwd_tile_grads(tbl, tbl, lv, bgv, n, n_lights, depth,
+                               dx, dy, dz, gw)
+
+    opaque = random_scene(4, seed=2)
+    opaque = dataclasses.replace(
+        opaque, spheres=dataclasses.replace(
+            opaque.spheres,
+            opacity=jnp.ones_like(opaque.spheres.opacity)))
+
+    for scene in (opaque, default_scene()):
+        guarded = run(scene, depth=3)
+        # Traced always-true predicate: a concrete True would let jax
+        # partial-eval the cond away and change the branch compilation,
+        # breaking the bit-equality this test relies on.
+        monkeypatch.setattr(tp, "_bwd_alive",
+                            lambda st: jnp.max(st[6]) > -jnp.inf)
+        forced = run(scene, depth=3)
+        monkeypatch.undo()
+        for a, b in zip(jax.tree_util.tree_leaves(guarded),
+                        jax.tree_util.tree_leaves(forced)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
