@@ -256,14 +256,19 @@ def test_bwd_early_exit_skip_is_exact(monkeypatch):
             opaque.spheres,
             opacity=jnp.ones_like(opaque.spheres.opacity)))
 
-    for scene in (opaque, default_scene()):
-        guarded = run(scene, depth=3)
+    # depth 4 makes level 4's 128 rows exceed the vjp row chunk (CHUNK=64
+    # at small sphere counts), so the CHUNKED vjp_block guard path and its
+    # dead-branch cotangents are pinned bit-for-bit too, not just the
+    # whole-level path depth 3 exercises.
+    for scene, depth in ((opaque, 3), (default_scene(), 3),
+                         (default_scene(), 4)):
+        guarded = run(scene, depth=depth)
         # Traced always-true predicate: a concrete True would let jax
         # partial-eval the cond away and change the branch compilation,
         # breaking the bit-equality this test relies on.
         monkeypatch.setattr(tp, "_bwd_alive",
                             lambda st: jnp.max(st[6]) > -jnp.inf)
-        forced = run(scene, depth=3)
+        forced = run(scene, depth=depth)
         monkeypatch.undo()
         for a, b in zip(jax.tree_util.tree_leaves(guarded),
                         jax.tree_util.tree_leaves(forced)):
