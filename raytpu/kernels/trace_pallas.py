@@ -477,7 +477,7 @@ def _fresnel(n1, n2, c1, c2):
 
 
 def _trace_level(scn, lights, n_lights, bg, state, spawn,
-                 skip_dead_shading=False, medium_idx=None):
+                 skip_dead_shading=False, medium_idx=None, emit=True):
     """One bounce level on SoA ray state; mirrors raytpu.trace._trace_level
     (see its docstring for the reference-semantics map).  `bg` is a dict of
     background-medium scalars (traced values read from SMEM).
@@ -493,39 +493,48 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
     children carry [refraction-target index | parent index] as their 10th
     field instead of the five medium value fields — exact, because the
     values are a pure table lookup of the index (wavefront.py regathers
-    them at the next level)."""
+    them at the next level).
+
+    emit=False skips the emission computation entirely (miss paint + the
+    lights x spheres shadow/matte block) and returns None emissions — for
+    callers that only need the children (the backward kernel's states
+    build; children depend on refraction/reflection, never on shading)."""
     (ox, oy, oz, dx, dy, dz, ir, ig, ib, mmr, mmg, mmb, mior, mop) = state
     hit = scn.closest_hit(ox, oy, oz, dx, dy, dz)
     sig = (ir >= _MIN_SIG) | (ig >= _MIN_SIG) | (ib >= _MIN_SIG)
     live = hit["found"] & sig
 
-    miss = ~hit["found"]
-    er = jnp.where(miss, ir * mmr, f32(0.0))
-    eg = jnp.where(miss, ig * mmg, f32(0.0))
-    eb = jnp.where(miss, ib * mmb, f32(0.0))
-
     opacity = hit["op"]
     transparency = f32(1.0) - opacity
-    mgate = live & (opacity > 0)
 
-    def shade(_):
-        return _matte_sum(scn, lights, n_lights,
-                          hit["hx"], hit["hy"], hit["hz"],
-                          hit["nx"], hit["ny"], hit["nz"])
+    if emit:
+        miss = ~hit["found"]
+        er = jnp.where(miss, ir * mmr, f32(0.0))
+        eg = jnp.where(miss, ig * mmg, f32(0.0))
+        eb = jnp.where(miss, ib * mmb, f32(0.0))
+        mgate = live & (opacity > 0)
 
-    if skip_dead_shading:
-        zero = jnp.zeros_like(ir)
-        sr, sg, sb = jax.lax.cond(
-            jnp.any(mgate), shade,
-            lambda _: (zero, zero, zero), operand=None)
+        def shade(_):
+            return _matte_sum(scn, lights, n_lights,
+                              hit["hx"], hit["hy"], hit["hz"],
+                              hit["nx"], hit["ny"], hit["nz"])
+
+        if skip_dead_shading:
+            zero = jnp.zeros_like(ir)
+            sr, sg, sb = jax.lax.cond(
+                jnp.any(mgate), shade,
+                lambda _: (zero, zero, zero), operand=None)
+        else:
+            sr, sg, sb = shade(None)
+        er = er + jnp.where(mgate, opacity * ir * hit["mr"] * sr, f32(0.0))
+        eg = eg + jnp.where(mgate, opacity * ig * hit["mg"] * sg, f32(0.0))
+        eb = eb + jnp.where(mgate, opacity * ib * hit["mb"] * sb, f32(0.0))
+        emissions = (er, eg, eb)
     else:
-        sr, sg, sb = shade(None)
-    er = er + jnp.where(mgate, opacity * ir * hit["mr"] * sr, f32(0.0))
-    eg = eg + jnp.where(mgate, opacity * ig * hit["mg"] * sg, f32(0.0))
-    eb = eb + jnp.where(mgate, opacity * ib * hit["mb"] * sb, f32(0.0))
+        emissions = None
 
     if not spawn:
-        return (er, eg, eb), None
+        return emissions, None
 
     nx, ny, nz = hit["nx"], hit["ny"], hit["nz"]
     hx, hy, hz = hit["hx"], hit["hy"], hit["hz"]
@@ -614,7 +623,7 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
             cat(tmmr, mmr), cat(tmmg, mmg), cat(tmmb, mmb),
             cat(tior_bg, mior), cat(tmop, mop),
         )
-    return (er, eg, eb), children
+    return emissions, children
 
 
 def _trace_tree(scn, lights, bg, n_lights, max_depth,
@@ -850,6 +859,62 @@ def _bwd_alive(st):
     return jnp.max(jnp.maximum(st[6], jnp.maximum(st[7], st[8]))) > 0
 
 
+# Full-tree backward: one jax.vjp over the whole bounce tree instead of the
+# per-level remat sweep — saves the states-build pass (one forward's worth
+# of work on live tiles) by letting the vjp's own primal produce every
+# level, at the cost of holding all levels' AD residuals at once.
+# MEASURED AND REJECTED as the default (round 3, 640x480 d4 N3 on v5e):
+# 32.4 ms vs the per-level sweep's 25.2 ms.  Two reasons: (1) the early
+# exit cannot ride along — differentiating _trace_tree's liveness conds
+# produces a transposed scf.if with vector-i1 residual outputs Mosaic
+# fails to legalize — so the full tree runs straight-line and pays every
+# dead tile in full, which costs more than the rebuild it saves on this
+# frame (~most tiles are background); (2) the residual set scales with
+# the whole tree.  Kept behind RAYTPU_BWD_FULLTREE=always for scenes with
+# ~no dead tiles, and pinned against the per-level sweep by
+# tests/test_pallas.py::test_bwd_fulltree_matches_per_level.
+BWD_FULLTREE = "never"
+
+
+def _bwd_use_fulltree(depth: int, n_spheres: int, n_lights: int) -> bool:
+    import os
+    mode = os.environ.get("RAYTPU_BWD_FULLTREE", BWD_FULLTREE)
+    return mode == "always"
+
+
+def _bwd_tile_grads_fulltree(scene_sel, sv, lv, bgv, n_spheres, n_lights,
+                             depth, dx, dy, dz, gw, early_exit=False):
+    """Full-tree variant of _bwd_tile_grads: differentiate the whole bounce
+    tree (the same _trace_tree program the forward kernel runs, via
+    _VjpScene) in ONE jax.vjp.  Compared to the per-level remat sweep this
+    skips the states-build pass — one forward's worth of arithmetic on live
+    tiles — because the vjp's own primal pass produces every level.  The
+    price is the full tree's AD residual set held at once (see
+    _bwd_fulltree_residual_bytes); _bwd_use_fulltree gates on it.
+
+    Gradient semantics are identical to the per-level sweep (the autodiff-
+    equivalence test differentiates exactly this program shape); state0's
+    medium fields are built from bgv inside _trace_tree, so the background
+    cotangent needs no manual fold here.  early_exit must stay OFF in this
+    path: differentiating through _trace_tree's liveness conds produces a
+    transposed scf.if whose residual outputs include vector i1 masks, which
+    Mosaic fails to legalize ("failed to legalize operation 'scf.if'",
+    measured on v5e) — so the full tree runs straight-line and the
+    dead-tile skipping is the per-level sweep's advantage to keep."""
+
+    def weighted(sv_, lv_, bgv_):
+        scn = _VjpScene(scene_sel, sv_, n_spheres)
+        lights = _ScalarTable(lv_)
+        bg = dict(matte_r=bgv_[0], matte_g=bgv_[1], matte_b=bgv_[2],
+                  ior=bgv_[3], opacity=bgv_[4])
+        ar, ag, ab = _trace_tree(scn, lights, bg, n_lights, depth,
+                                 dx, dy, dz, early_exit=early_exit)
+        return jnp.sum(ar * gw[0] + ag * gw[1] + ab * gw[2])
+
+    _, vjp = jax.vjp(weighted, sv, lv, bgv)
+    return vjp(f32(1.0))
+
+
 def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
                     dx, dy, dz, gw, early_exit=True):
     """Per-tile reverse sweep: gradients of sum(levels' emissions * gw) with
@@ -888,15 +953,15 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
     near-tangent lanes (the usual measure-zero noise class), which that
     test's bit-level comparison cannot absorb."""
 
-    def level_fn(sv_vals, lv_vals, bgv_vals, st, spawn):
+    def level_fn(sv_vals, lv_vals, bgv_vals, st, spawn, emit=True):
         scn = _VjpScene(scene_sel, sv_vals, n_spheres)
         lights = _ScalarTable(lv_vals)
         bg = dict(matte_r=bgv_vals[0], matte_g=bgv_vals[1],
                   matte_b=bgv_vals[2], ior=bgv_vals[3],
                   opacity=bgv_vals[4])
-        (er, eg, eb), children = _trace_level(
-            scn, lights, n_lights, bg, st, spawn=spawn)
-        return (er, eg, eb), (children if spawn else ())
+        em, children = _trace_level(
+            scn, lights, n_lights, bg, st, spawn=spawn, emit=emit)
+        return em, (children if spawn else ())
 
     zero = jnp.zeros((TILE_ROWS, LANES), f32)
     one = jnp.ones((TILE_ROWS, LANES), f32)
@@ -904,11 +969,14 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
               zero + bgv[0], zero + bgv[1], zero + bgv[2],
               zero + bgv[3], zero + bgv[4])
 
+    # States build: only the children matter (emit=False skips the miss
+    # paint and the lights x spheres shadow/matte block — children depend
+    # on refraction/reflection, never on shading).
     states = [state0]
     for level in range(depth):
         st = states[level]
         if level == 0 or not early_exit:
-            _, children = level_fn(sv, lv, bgv, st, True)
+            _, children = level_fn(sv, lv, bgv, st, True, emit=False)
         else:
             # Dead branch outputs derive from the operand (concat x 0), not
             # constants: a cond output that is constant in one branch gets
@@ -919,7 +987,7 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
             # values the tracer guarantees.
             children = jax.lax.cond(
                 _bwd_alive(st),
-                lambda s: level_fn(sv, lv, bgv, s, True)[1],
+                lambda s: level_fn(sv, lv, bgv, s, True, emit=False)[1],
                 lambda s: tuple(jnp.concatenate([x, x], axis=0) * f32(0.0)
                                 for x in s), st)
         states.append(children)
@@ -1038,7 +1106,10 @@ def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
         weight = f32(1.0 / (alias * alias))
         gw = (g_ref[0] * weight, g_ref[1] * weight, g_ref[2] * weight)
 
-        d_sv, d_lv, d_bgv = _bwd_tile_grads(
+        grads_fn = (_bwd_tile_grads_fulltree
+                    if _bwd_use_fulltree(cfg.max_depth, n_spheres, n_lights)
+                    else _bwd_tile_grads)
+        d_sv, d_lv, d_bgv = grads_fn(
             scene_ref, sv, lv, bgv, n_spheres, n_lights, cfg.max_depth,
             dx, dy, dz, gw)
 

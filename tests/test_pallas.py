@@ -151,6 +151,50 @@ def test_backward_fori_gather_path_vs_autodiff():
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_bwd_fulltree_matches_per_level():
+    """The full-tree backward (_bwd_tile_grads_fulltree: one jax.vjp over
+    the whole bounce tree — kept behind RAYTPU_BWD_FULLTREE=always; the
+    per-level remat sweep measured faster on the bench frame, see the
+    module comment) computes the same scene/light/bg cotangents as the
+    per-level sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.config import RenderConfig as RC
+    from raytpu.kernels.trace_pallas import (LANES, LIGHT_ROWS, TILE_ROWS,
+                                             _bwd_tile_grads,
+                                             _bwd_tile_grads_fulltree,
+                                             _camera_dirs, _scene_tables)
+
+    scene = default_scene()
+    n = scene.spheres.pos.shape[0]
+    n_lights = scene.lights.pos.shape[0]
+    tbl, ltbl, bgt = _scene_tables(scene)
+    lv = tuple(tuple(ltbl[r, l] for l in range(n_lights))
+               for r in range(LIGHT_ROWS))
+    bgv = tuple(bgt[k, 0] for k in range(5))
+    depth = 3
+    cfg = RC(width=LANES, height=TILE_ROWS, max_depth=depth, alias_factor=1)
+    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32).reshape(
+        TILE_ROWS, LANES)
+    dx, dy, dz = _camera_dirs(cfg, gid, jnp.int32(0), jnp.int32(0))
+    gw = tuple(jnp.full((TILE_ROWS, LANES), 0.5 + k, jnp.float32)
+               for k in range(3))
+    # early_exit=False on the per-level side: liveness-cond branches
+    # compile as fused subcomputations whose FMA-contraction choices differ
+    # from the fulltree's straight-line program (the same near-tangent
+    # noise class the autodiff-equivalence test documents).
+    want = _bwd_tile_grads(tbl, tbl, lv, bgv, n, n_lights, depth,
+                           dx, dy, dz, gw, early_exit=False)
+    got = _bwd_tile_grads_fulltree(tbl, tbl, lv, bgv, n, n_lights, depth,
+                                   dx, dy, dz, gw)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6 * scale)
+
+
 def test_backward_kernel_matches_jnp_autodiff():
     import jax
     import jax.numpy as jnp
