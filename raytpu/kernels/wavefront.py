@@ -415,6 +415,7 @@ def _compact(children, pid, cap: int):
     state = tuple(o[:cap] for o in out[1:1 + N_STATE])
     n_alive = jnp.sum(alive.astype(jnp.int32))
     dropped = jnp.maximum(n_alive - jnp.int32(cap), 0)
+    n_kept = jnp.minimum(n_alive, jnp.int32(cap))
     # Dead entries inside the kept prefix: clamp their pid to the last pixel
     # so the kept pid sequence stays sorted for the scatter (their emissions
     # and intensities are exact zeros, so the target pixel is irrelevant).
@@ -422,53 +423,81 @@ def _compact(children, pid, cap: int):
     kept_alive = kept_key < _DEAD_BIT
     new_pid = jnp.where(kept_alive, kept_key & jnp.int32(0x3FFFFFFF),
                         jnp.int32(0x3FFFFFFF))
-    return state, new_pid, dropped
+    return state, new_pid, dropped, n_kept
 
 
-# Segments per scatter: each segment's scatter-add is skipped by a scalar
-# cond when every ray in it is dead (exact — dead emissions are 0.0).
-_SCATTER_SEGS = 4
+# Prefix granularity for the compacted-level scatter: the live prefix
+# length is rounded up to a multiple of r/_SCATTER_SEGS and only that
+# prefix is scattered (lax.switch over the static lengths).
+_SCATTER_SEGS = 8
 
 
 def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool,
-                       live=None):
+                       n_live=None):
     """acc[c][pid] += em[c], three 1-D scatter-adds ((npix, 3) would pad
     its minor dim to 128 lanes — a 1 GB accumulator at 2M pixels).
 
-    With `live` (the rays' intensity channels; compacted levels, where
-    dead rays hold the tail), the ray range is split into _SCATTER_SEGS
-    cond-guarded segments and a segment whose rays are ALL dead is skipped
-    wholesale — the scatter is the priciest glue op (~18 ms per 2M rays
-    per channel in situ) and at deep levels most of the range is dead.
+    The scatter-add runs ~3 ns/element on v5e regardless of value,
+    uniqueness, or sortedness (tools/scatter_bench.py) — per-element
+    serial, the priciest glue op — so the only lever is scattering FEWER
+    elements.  With `n_live` (compacted levels: _compact sinks dead rays
+    to the tail and counts the kept live prefix), a lax.switch picks the
+    smallest static prefix >= n_live out of _SCATTER_SEGS granularities
+    and scatters only that — at deep levels most of the range is dead, so
+    most of the scatter is skipped.  The earlier 4-segment cond-guarded
+    form measured ~3x the plain scatter on all-live data (27.6 vs
+    9.1 ms/1M rays — per-segment cond dispatch breaks the fusion);
+    the switch form pays one branch dispatch total.
 
-    The skip must be gated on ray LIVENESS, not on the emissions being
-    zero: a live ray can emit exact zeros (black matte / black background)
-    while its emission still carries a nonzero cotangent into the scene
-    parameters (d em / d matte = intensity != 0).  A zero-INTENSITY ray's
-    emission, by the module's exactness lemma, is identically zero as a
-    function — every partial is where-blocked or intensity-scaled — so
-    skipping truly dead segments is gradient-exact as well."""
+    The skip is gated on ray LIVENESS, not on emissions being zero: a
+    live ray can emit exact zeros (black matte) while its emission still
+    carries a nonzero cotangent into the scene parameters (d em / d matte
+    = intensity != 0).  A zero-INTENSITY ray's emission, by the module's
+    exactness lemma, is identically zero as a function — every partial is
+    where-blocked or intensity-scaled — so the dropped dead tail is
+    gradient-exact as well (its cotangent path vanishes with the primal:
+    lax.switch routes the unselected branches' cotangents as zeros)."""
     safe = jnp.minimum(pid, jnp.int32(npix - 1))
-
-    def scat(acc, pid_seg, em_seg):
-        return tuple(
-            a.at[pid_seg].add(e, indices_are_sorted=sorted_ids)
-            for a, e in zip(acc, em_seg))
-
     r = safe.shape[0]
-    if live is None or r % _SCATTER_SEGS:
-        return scat(acc, safe, em)
-    gate = jax.lax.stop_gradient(jnp.abs(live[0]) + jnp.abs(live[1])
-                                 + jnp.abs(live[2]))
-    seg = r // _SCATTER_SEGS
-    for s in range(_SCATTER_SEGS):
-        em_seg = tuple(e[s * seg:(s + 1) * seg] for e in em)
-        pid_seg = safe[s * seg:(s + 1) * seg]
-        any_live = jnp.max(gate[s * seg:(s + 1) * seg]) > 0
-        acc = jax.lax.cond(any_live,
-                           lambda a, p=pid_seg, e=em_seg: scat(a, p, e),
-                           lambda a: a, acc)
-    return acc
+
+    def scat_prefix(n):
+        if n == 0:
+            return lambda a, e: a
+
+        def f(a, e):
+            return tuple(
+                x.at[safe[:n]].add(y[:n], indices_are_sorted=sorted_ids)
+                for x, y in zip(a, e))
+        return f
+
+    if n_live is None or r % _SCATTER_SEGS:
+        return scat_prefix(r)(acc, em)
+    step = r // _SCATTER_SEGS
+    idx = jnp.minimum((n_live + step - 1) // step,
+                      jnp.int32(_SCATTER_SEGS))
+    return jax.lax.switch(idx,
+                          [scat_prefix(k * step)
+                           for k in range(_SCATTER_SEGS + 1)], acc, em)
+
+
+def _scatter_window(acc, em, start, npix: int):
+    """Level-0 emission accumulation: camera-chunk ray i maps to pixel
+    (start + i) % npix — contiguous mod npix — so the 'scatter' is a
+    dynamic_update_slice into a zero extension plus a wrap fold, all
+    dense vector adds (measured free vs ~9 ms/1M-ray scatter,
+    tools/scatter_bench.py).  Exact for the tail-clamped rays too: their
+    ids were clamped to total-1 but their intensity (hence emission) is
+    exactly zero, so placing those zeros at the unclamped positions
+    changes nothing."""
+    chunk = em[0].shape[0]
+    s0 = jnp.remainder(jnp.asarray(start, jnp.int32), jnp.int32(npix))
+    wraps = chunk // npix + 2
+    outs = []
+    for a, x in zip(acc, em):
+        ext = jnp.zeros((wraps * npix,), jnp.float32)
+        ext = jax.lax.dynamic_update_slice(ext, x, (s0,))
+        outs.append(a + ext.reshape(wraps, npix).sum(axis=0))
+    return tuple(outs)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -516,8 +545,11 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
 
         # pid is sorted only when it came out of _compact: level-0 pids
         # wrap at sample boundaries and the no-sort branch interleaves
-        # [refraction | reflection] blocks tile-wise.
+        # [refraction | reflection] blocks tile-wise.  n_live (the kept
+        # live-prefix length, also from _compact) lets the scatter run on
+        # just the live prefix.
         pid_sorted = False
+        n_live = None
         for level in range(cfg.max_depth + 1):
             spawn = level < cfg.max_depth
             if ad:
@@ -529,13 +561,15 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 em, children = _wf_level_call(
                     scene_tbl, lights_tbl, bg_tbl, state, n_spheres,
                     n_lights, spawn, interpret)
-            # Post-compaction levels have dead rays grouped at the tail,
-            # so their emission scatters run cond-guarded per segment
-            # (gated on the rays' intensity — see _scatter_emissions).
-            acc = _scatter_emissions(acc, em, pid, npix,
-                                     sorted_ids=pid_sorted,
-                                     live=(state[6:9] if pid_sorted
-                                           else None))
+            if level == 0:
+                # Camera rays: pids are contiguous mod npix — dense adds.
+                acc = _scatter_window(acc, em, start, npix)
+            else:
+                # Post-compaction levels keep dead rays at the tail: only
+                # the live prefix is scattered (see _scatter_emissions).
+                acc = _scatter_emissions(
+                    acc, em, pid, npix, sorted_ids=pid_sorted,
+                    n_live=(n_live if pid_sorted else None))
             if not spawn:
                 break
             r = state[0].shape[0]
@@ -545,7 +579,7 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 pid_sorted = False
             else:
                 keep = min(2 * r, cap)
-                state, pid, ndrop = _compact(children, pid2, keep)
+                state, pid, ndrop, n_live = _compact(children, pid2, keep)
                 pid_sorted = True
                 dropped = dropped + ndrop
         return (acc, dropped), None

@@ -99,13 +99,24 @@ def main():
 
     def compact(children, pid2, salt):
         ch = (children[0] + salt,) + children[1:]
-        st, np_, dr = _compact(ch, pid2, r)
-        return st + (np_.astype(jnp.float32), dr.astype(jnp.float32)[None])
+        st, np_, dr, nl = _compact(ch, pid2, r)
+        return st + (np_.astype(jnp.float32), dr.astype(jnp.float32)[None],
+                     nl.astype(jnp.float32)[None])
 
     def scatter(acc, em, pid, salt):
         e = (em[0] + salt,) + em[1:]
         return _scatter_emissions(acc, e, pid, r // 2, sorted_ids=True,
-                                  live=e)
+                                  n_live=jnp.int32(r))
+
+    def scatter_eighth(acc, em, pid, salt):
+        e = (em[0] + salt,) + em[1:]
+        return _scatter_emissions(acc, e, pid, r // 2, sorted_ids=True,
+                                  n_live=jnp.int32(r // 8))
+
+    def scatter_window(acc, em, salt):
+        from raytpu.kernels.wavefront import _scatter_window
+        e = (em[0] + salt,) + em[1:]
+        return _scatter_window(acc, e, jnp.int32(0), r // 2)
 
     def dup(pid, salt):
         return (_dup_tilewise(pid, r // WF_BLOCK).astype(jnp.float32)
@@ -118,6 +129,10 @@ def main():
     out["compact_2x_ms"] = round(slope_time(compact, (children, pid2))
                                  * 1e3, 2)
     out["scatter_ms"] = round(slope_time(scatter, (acc, em, pid)) * 1e3, 2)
+    out["scatter_eighth_live_ms"] = round(
+        slope_time(scatter_eighth, (acc, em, pid)) * 1e3, 2)
+    out["scatter_window_ms"] = round(
+        slope_time(scatter_window, (acc, em)) * 1e3, 2)
     out["dup_ms"] = round(slope_time(dup, (pid,)) * 1e3, 2)
     print(json.dumps(out))
     return 0
