@@ -253,3 +253,51 @@ def test_wavefront_black_matte_grads_not_dropped():
     a, b = np.asarray(gw.spheres.matte), np.asarray(gp.spheres.matte)
     scale = max(float(np.abs(b).max()), 1e-20)
     assert np.abs(a - b).max() <= 1e-3 * scale
+
+
+def test_scatter_window_matches_plain_scatter():
+    """_scatter_window (level 0's dense window-add replacement for the
+    scatter) equals acc[pid] += em for pid = (start + i) % npix, for
+    chunks smaller and larger than the pixel count and any start."""
+    import jax.numpy as jnp
+
+    from raytpu.kernels.wavefront import _scatter_window
+
+    rng = np.random.default_rng(7)
+    for npix, chunk, start in ((100, 64, 0), (100, 64, 87), (48, 256, 5),
+                               (33, 97, 200)):
+        em = tuple(jnp.asarray(rng.standard_normal(chunk), jnp.float32)
+                   for _ in range(3))
+        acc0 = tuple(jnp.asarray(rng.standard_normal(npix), jnp.float32)
+                     for _ in range(3))
+        got = _scatter_window(acc0, em, jnp.int32(start), npix)
+        pid = (start + np.arange(chunk)) % npix
+        for g, a, e in zip(got, acc0, em):
+            want = np.asarray(a).copy()
+            np.add.at(want, pid, np.asarray(e))
+            np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6,
+                                       atol=1e-6)
+
+
+def test_scatter_emissions_prefix_switch_exact():
+    """The live-prefix switch scatter equals the full scatter whenever the
+    tail past n_live carries exactly-zero emissions (the compaction
+    invariant), at every switch granularity including 0 and full."""
+    import jax.numpy as jnp
+
+    from raytpu.kernels.wavefront import _SCATTER_SEGS, _scatter_emissions
+
+    rng = np.random.default_rng(8)
+    r, npix = 4 * _SCATTER_SEGS * 8, 50
+    pid = jnp.asarray(np.sort(rng.integers(0, npix, r)), jnp.int32)
+    acc0 = tuple(jnp.asarray(rng.standard_normal(npix), jnp.float32)
+                 for _ in range(3))
+    for n_live in (0, 1, r // _SCATTER_SEGS - 3, r // 2, r - 1, r):
+        em_np = rng.standard_normal((3, r)).astype(np.float32)
+        em_np[:, n_live:] = 0.0  # the compaction invariant
+        em = tuple(jnp.asarray(e) for e in em_np)
+        got = _scatter_emissions(acc0, em, pid, npix, sorted_ids=True,
+                                 n_live=jnp.int32(n_live))
+        want = _scatter_emissions(acc0, em, pid, npix, sorted_ids=True)
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w))
