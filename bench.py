@@ -150,6 +150,48 @@ def main():
     bwd_dt = min(times)
     fwd_bwd_mrays = cfg.rays_per_frame / bwd_dt / 1e6
 
+    # Floor-free fwd+bwd device time (slope method, like the forward above):
+    # K training steps inside one jit with a per-step salt; the tunnel floor
+    # cancels in t(K) - t(1).  This is the per-chip step cost a pod would
+    # see (the ~28 ms wall floor is a tunnel artifact of this harness).
+    step_device = None
+    if jax.default_backend() == "tpu" and _lg is not loss_and_grad:
+        try:
+            import dataclasses as _dc
+
+            def _rep_step(k):
+                def body(s):
+                    total = jnp.float32(0.0)
+                    for i in range(k):
+                        sph = _dc.replace(
+                            s.spheres,
+                            radius=s.spheres.radius + jnp.float32(i * 1e-30))
+                        l, grads = step(_dc.replace(s, spheres=sph))
+                        total = total + l + sum(
+                            jnp.sum(x) for x in
+                            jax.tree_util.tree_leaves(grads))
+                    return total
+                return jax.jit(body)
+
+            f1, fk = _rep_step(1), _rep_step(4)
+            float(f1(scene)), float(fk(scene))
+
+            def _best(f):
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(f(scene))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            dt = (_best(fk) - _best(f1)) / 3
+            step_device = dict(
+                step_device_ms=round(dt * 1e3, 2),
+                step_device_mrays_per_s=round(
+                    cfg.rays_per_frame / dt / 1e6, 2))
+        except Exception:
+            pass
+
     # The reference's own workload (800x600 depth-5) end to end, as an
     # auxiliary figure; skipped silently if its compile fails.
     golden_ms = None
@@ -203,6 +245,7 @@ def main():
         "golden_800x600_d5_fwd_bwd_ms": golden_ms,
         "config5_1080p_d6_N256_wavefront_s": config5_s,
         **(device or {}),
+        **(step_device or {}),
         **meta,
     }
     print(json.dumps(result))

@@ -116,7 +116,8 @@ def main():
     def scatter_window(acc, em, salt):
         from raytpu.kernels.wavefront import _scatter_window
         e = (em[0] + salt,) + em[1:]
-        return _scatter_window(acc, e, jnp.int32(0), r // 2)
+        acc_np = tuple(a[:r // 2] for a in acc)
+        return _scatter_window(acc_np, e, jnp.int32(0), r // 2)
 
     def dup(pid, salt):
         return (_dup_tilewise(pid, r // WF_BLOCK).astype(jnp.float32)
