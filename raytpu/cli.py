@@ -68,7 +68,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (overrides any platform "
                         "auto-registration)")
+    p.add_argument("--compare", nargs=2, metavar=("A.ppm", "B.ppm"),
+                   default=None,
+                   help="compare two PPM images and print diff stats as "
+                        "JSON (the reference project's whole test strategy "
+                        "— 'render the scene using GPGPU or the CPU and "
+                        "compare the results', README.md:4 — as a command); "
+                        "all other options are ignored")
     return p
+
+
+def compare_ppms(path_a: str, path_b: str) -> dict:
+    """Byte-level diff stats between two P6 PPMs (any size; sizes must
+    match).  The stats mirror the repo's golden-test metrics so CLI
+    comparisons and CI agree: byte_exact fraction, within-1 fraction, MAE
+    and max over 8-bit channel values, plus the mismatching-pixel count."""
+    import numpy as np
+
+    from raytpu.image import read_ppm
+    a = read_ppm(path_a).astype(np.int32)
+    b = read_ppm(path_b).astype(np.int32)
+    if a.shape != b.shape:
+        return {"error": f"size mismatch: {a.shape} vs {b.shape}"}
+    diff = np.abs(a - b)
+    pix_mismatch = int((diff.reshape(-1, 3).max(axis=1) > 0).sum())
+    return {
+        "shape": list(a.shape),
+        "byte_exact": round(float((diff == 0).mean()), 6),
+        "within_1": round(float((diff <= 1).mean()), 6),
+        "mae": round(float(diff.mean()), 4),
+        "max_abs": int(diff.max()),
+        "mismatching_pixels": pix_mismatch,
+        "total_pixels": int(a.shape[0] * a.shape[1]),
+    }
 
 
 def make_scene(args):
@@ -95,6 +127,11 @@ def make_scene(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.compare:
+        stats = compare_ppms(*args.compare)
+        print(json.dumps(stats))
+        return 2 if "error" in stats else 0
 
     if args.cpu:
         import jax

@@ -43,3 +43,43 @@ def test_ppm_roundtrip(tmp_path):
 def test_read_reference_golden():
     g = read_ppm("/root/reference/raytracer_gamma/testPPM_CPU.ppm")
     assert g.shape == (600, 800, 3)
+
+
+def test_cli_compare_ppms(tmp_path):
+    """The --compare CLI (the reference's own 'render both and compare'
+    test strategy as a command) reports exactness stats; identical files
+    are fully byte-exact, a 1-byte change is counted."""
+    import json
+
+    import numpy as np
+
+    from raytpu.cli import compare_ppms, main
+    from raytpu.image import read_ppm, write_ppm
+
+    img = np.linspace(0, 1, 2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3)
+    a = str(tmp_path / "a.ppm")
+    b = str(tmp_path / "b.ppm")
+    write_ppm(img, a)
+    raw = read_ppm(a)
+    raw2 = raw.copy()
+    raw2[0, 0, 0] = (int(raw2[0, 0, 0]) + 3) % 256
+    hdr = f"P6\n{raw.shape[1]} {raw.shape[0]}\n255\n".encode()
+    with open(b, "wb") as f:
+        f.write(hdr + raw2.tobytes())
+
+    same = compare_ppms(a, a)
+    assert same["byte_exact"] == 1.0 and same["mismatching_pixels"] == 0
+    stats = compare_ppms(a, b)
+    assert stats["mismatching_pixels"] == 1
+    assert stats["max_abs"] == 3
+    assert 0 < stats["byte_exact"] < 1
+    assert main(["--compare", a, b]) == 0  # prints JSON, exits 0
+    import io
+    from contextlib import redirect_stdout
+
+    c = str(tmp_path / "c.ppm")
+    write_ppm(img[:1], c)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--compare", a, c])
+    assert rc == 2 and "error" in json.loads(buf.getvalue())
