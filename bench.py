@@ -214,6 +214,7 @@ def main():
     # (~10 s device + the ~28 ms tunnel floor); skipped off-TPU or on
     # compile failure.
     config5_s = None
+    config5_dropped = None
     if jax.default_backend() == "tpu":
         try:
             from raytpu.scene import random_scene
@@ -222,10 +223,19 @@ def main():
             c5 = RenderConfig(width=1920, height=1080, max_depth=6,
                               alias_factor=3)
             s5 = random_scene(256, seed=3)
-            fn5 = lambda: float(jnp.sum(render_pixels_wavefront(s5, c5)))
+
+            # capacity_factor 1.5: measured-safe tuning for this scene
+            # (live rays peak at ~1.14x chunk; BASELINE.md round-3
+            # studies); the dropped counter keeps the number honest —
+            # any drop is reported alongside the time.
+            def fn5():
+                img, info = render_pixels_wavefront(
+                    s5, c5, capacity_factor=1.5, return_info=True)
+                return float(jnp.sum(img)), int(info["dropped"])
+
             fn5()  # compile
             t0 = time.perf_counter()
-            fn5()
+            _, config5_dropped = fn5()
             config5_s = round(time.perf_counter() - t0, 2)
         except Exception:
             pass
@@ -244,6 +254,7 @@ def main():
                                 if fwd_jnp else None),
         "golden_800x600_d5_fwd_bwd_ms": golden_ms,
         "config5_1080p_d6_N256_wavefront_s": config5_s,
+        "config5_dropped_rays": config5_dropped,
         **(device or {}),
         **(step_device or {}),
         **meta,

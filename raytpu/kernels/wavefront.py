@@ -567,9 +567,15 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
             else:
                 # Post-compaction levels keep dead rays at the tail: only
                 # the live prefix is scattered (see _scatter_emissions).
+                # The AD path skips the prefix switch: the scatter share
+                # is ~0 of a frame either way (BASELINE.md round-3 study),
+                # and 9 differentiated-and-transposed switch branches per
+                # level inside checkpoint+scan blow the compiled program's
+                # size (XLA CPU compile segfaulted on the full test-suite's
+                # accumulated state with the switch in the grad path).
                 acc = _scatter_emissions(
                     acc, em, pid, npix, sorted_ids=pid_sorted,
-                    n_live=(n_live if pid_sorted else None))
+                    n_live=(n_live if pid_sorted and not ad else None))
             if not spawn:
                 break
             r = state[0].shape[0]
@@ -597,7 +603,7 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
 
 
 def render_pixels_wavefront(scene, cfg: RenderConfig,
-                            chunk_rays: int = 1 << 20,
+                            chunk_rays: int = 1 << 18,
                             capacity_factor: int = 2,
                             eager_sort: bool = True,
                             interpret: bool = False,
@@ -611,8 +617,14 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     backward kernel) and XLA autodiff carries cotangents through the
     sort/scatter glue — see raytpu.grad.loss_and_grad_wavefront.
 
-    `chunk_rays` bounds live memory (camera rays per scan step);
-    `capacity_factor` x chunk_rays is the per-level live-ray capacity.
+    `chunk_rays` bounds live memory (camera rays per scan step); the
+    default 256K is a measured locality sweet spot on v5e — the 1080p d6
+    config-5 frame runs 7.50 s at 1M-ray chunks, 6.46 s at 512K, 6.27 s
+    at 256K, 6.19 s at 128K (total bytes are chunk-size-invariant; the
+    smaller working set wins).  `capacity_factor` x chunk_rays is the
+    per-level live-ray capacity; shrinking it shrinks every level
+    array — 1.5 is measured safe AND faster on config 5 (5.87 s with
+    31% live-ray headroom) but 2.0 stays the default contract.
     `eager_sort` compacts at EVERY spawn level (even when the children fit
     capacity): the dead-last sort concentrates live rays so whole kernel
     tiles early-exit; with it off, under-capacity levels skip the sort and
