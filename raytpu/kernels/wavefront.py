@@ -82,10 +82,14 @@ from raytpu.kernels.trace_pallas import (
     f32,
 )
 
-# Rays per grid step = WF_BLOCK_ROWS * 128.  Bigger blocks amortise per-step
-# grid overhead; VMEM per step is 14 state + 28 child + ~3 emission blocks
-# (~1 MB at 32 rows) plus the large-N gather tables.
-WF_BLOCK_ROWS = 32
+# Rays per grid step = WF_BLOCK_ROWS * 128.  Bigger blocks amortise
+# per-step grid overhead but coarsen the whole-block early-exit
+# granularity; 64 is the measured sweet spot on v5e (1080p d6 N256 frame:
+# 5.87 s at 32 rows, 5.65 s at 64, 5.77 s at 128; the dead-heavy
+# 320x240 d6 config does not regress at 64).  VMEM per step is 14 state +
+# 28 child + ~3 emission blocks (~2 MB at 64 rows) plus the large-N
+# gather tables.
+WF_BLOCK_ROWS = 64
 WF_BLOCK = WF_BLOCK_ROWS * LANES
 
 # Compressed SoA ray state: position(3) + direction(3) + intensity(3) +

@@ -96,6 +96,9 @@ def main():
                     choices=["pallas", "jnp", "wavefront"])
     ap.add_argument("--chunk-rays", type=int, default=1 << 20,
                     help="wavefront backend: camera rays per scan chunk")
+    ap.add_argument("--capacity-factor", type=float, default=2.0,
+                    help="wavefront backend: live-ray capacity as a "
+                         "multiple of chunk-rays")
     args = ap.parse_args()
 
     import jax
@@ -119,7 +122,8 @@ def main():
         from raytpu.kernels.wavefront import render_pixels_wavefront
         interpret = jax.default_backend() != "tpu"
         fn = lambda s: render_pixels_wavefront(
-            s, cfg, chunk_rays=args.chunk_rays, interpret=interpret)
+            s, cfg, chunk_rays=args.chunk_rays,
+            capacity_factor=args.capacity_factor, interpret=interpret)
     else:
         import jax.numpy as jnp
 
