@@ -224,13 +224,15 @@ def main():
                               alias_factor=3)
             s5 = random_scene(256, seed=3)
 
-            # capacity_factor 1.5: measured-safe tuning for this scene
-            # (live rays peak at ~1.14x chunk; BASELINE.md round-3
-            # studies); the dropped counter keeps the number honest —
-            # any drop is reported alongside the time.
+            # 512K chunks + capacity 1.5: the zero-drop frontier measured
+            # for this scene (256K chunks drop 0.56% at factor 1.5 — a
+            # thin pixel strip can run hot on live rays; BASELINE.md
+            # round-3 studies).  The dropped counter keeps the number
+            # honest — any drop is reported alongside the time.
             def fn5():
                 img, info = render_pixels_wavefront(
-                    s5, c5, capacity_factor=1.5, return_info=True)
+                    s5, c5, chunk_rays=1 << 19, capacity_factor=1.5,
+                    return_info=True)
                 return float(jnp.sum(img)), int(info["dropped"])
 
             fn5()  # compile

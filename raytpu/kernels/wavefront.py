@@ -84,11 +84,12 @@ from raytpu.kernels.trace_pallas import (
 
 # Rays per grid step = WF_BLOCK_ROWS * 128.  Bigger blocks amortise
 # per-step grid overhead but coarsen the whole-block early-exit
-# granularity; 64 is the measured sweet spot on v5e (1080p d6 N256 frame:
-# 5.87 s at 32 rows, 5.65 s at 64, 5.77 s at 128; the dead-heavy
-# 320x240 d6 config does not regress at 64).  VMEM per step is 14 state +
-# 28 child + ~3 emission blocks (~2 MB at 64 rows) plus the large-N
-# gather tables.
+# granularity; 64 is the measured sweet spot on v5e (1080p d6 N256 frame
+# at the zero-drop 512K x 1.5 setting: 6.07 s at 32 rows, 5.84 s at 64;
+# 128 rows regressed in the ordering sweep; the dead-heavy 320x240 d6
+# config does not regress at 64 — 25.7 ms, was 30 at 32 rows in round 2).
+# VMEM per step is 14 state + 28 child + ~3 emission blocks (~2 MB at 64
+# rows) plus the large-N gather tables.
 WF_BLOCK_ROWS = 64
 WF_BLOCK = WF_BLOCK_ROWS * LANES
 
@@ -624,11 +625,14 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     `chunk_rays` bounds live memory (camera rays per scan step); the
     default 256K is a measured locality sweet spot on v5e — the 1080p d6
     config-5 frame runs 7.50 s at 1M-ray chunks, 6.46 s at 512K, 6.27 s
-    at 256K, 6.19 s at 128K (total bytes are chunk-size-invariant; the
-    smaller working set wins).  `capacity_factor` x chunk_rays is the
-    per-level live-ray capacity; shrinking it shrinks every level
-    array — 1.5 is measured safe AND faster on config 5 (5.87 s with
-    31% live-ray headroom) but 2.0 stays the default contract.
+    at 256K, 6.19 s at 128K (all at the default capacity; total bytes
+    are chunk-size-invariant, the smaller working set wins).
+    `capacity_factor` x chunk_rays is the per-level live-ray capacity;
+    shrinking it shrinks every level array and is the other frame-time
+    lever, but the safe factor DEPENDS ON chunk size (smaller chunks see
+    hotter pixel strips: on config 5, 512K x 1.5 drops zero rays while
+    256K x 1.5 drops 0.56% — always check `return_info`'s counter when
+    tuning it).  2.0 stays the default contract.
     `eager_sort` compacts at EVERY spawn level (even when the children fit
     capacity): the dead-last sort concentrates live rays so whole kernel
     tiles early-exit; with it off, under-capacity levels skip the sort and
