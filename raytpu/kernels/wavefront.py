@@ -507,11 +507,11 @@ def _scatter_window(acc, em, start, npix: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "chunk_rays", "capacity_factor", "eager_sort", "interpret",
-    "count", "ad"))
+    "count", "ad", "streams"))
 def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                            capacity_factor: int, eager_sort: bool,
                            interpret: bool, offset=0, count=None,
-                           ad: bool = False):
+                           ad: bool = False, streams: int = 1):
     n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
@@ -532,8 +532,7 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
     n_chunks = -(-total // chunk)
     offset = jnp.int32(offset)
 
-    def trace_chunk(carry, start):
-        acc, dropped = carry
+    def trace_stream(acc, dropped, start):
         ids = start + jnp.arange(chunk, dtype=jnp.int32)
         in_range = ids < total
         ids = jnp.minimum(ids, total - 1)
@@ -593,10 +592,33 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 state, pid, ndrop, n_live = _compact(children, pid2, keep)
                 pid_sorted = True
                 dropped = dropped + ndrop
+        return acc, dropped
+
+    def trace_chunk(carry, start_vec):
+        # `streams` independent chunk pipelines per scan step, each into
+        # its own zero accumulator, merged once at the end: with a shared
+        # acc the level chains would serialize through the scatter adds,
+        # whereas private accumulators leave the heavy kernel/sort chains
+        # dataflow-independent so XLA's scheduler can overlap one stream's
+        # DMA with another's compute (the slope benches showed the per-op
+        # costs assume exactly that overlap; a single dependent chain
+        # exposes the memory latency).
+        acc, dropped = carry
+        parts = []
+        for s_i in range(streams):
+            acc_s = tuple(jnp.zeros((npix,), jnp.float32) for _ in range(3))
+            acc_s, dropped = trace_stream(acc_s, dropped, start_vec[s_i])
+            parts.append(acc_s)
+        acc = tuple(a + sum(p[c] for p in parts)
+                    for c, a in enumerate(acc))
         return (acc, dropped), None
 
     acc0 = tuple(jnp.zeros((npix,), jnp.float32) for _ in range(3))
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    n_steps = -(-n_chunks // streams)
+    # Tail starts past `total` are harmless: their rays are in_range-masked
+    # to zero intensity, and zero emissions fold into acc exactly.
+    starts = (jnp.arange(n_steps * streams, dtype=jnp.int32) * chunk
+              ).reshape(n_steps, streams)
     # Under reverse AD the scan would otherwise save every chunk's full
     # per-level residual set; checkpointing the body re-runs each chunk's
     # forward during the backward sweep instead (the per-level custom-VJP
@@ -613,7 +635,8 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
                             eager_sort: bool = True,
                             interpret: bool = False,
                             return_info: bool = False,
-                            offset=0, count=None, ad: bool = False):
+                            offset=0, count=None, ad: bool = False,
+                            streams: int = 1):
     """Wavefront render of pixels [offset, offset+count) -> (count, 3)
     linear colour (the full frame by default).
 
@@ -633,6 +656,12 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     hotter pixel strips: on config 5, 512K x 1.5 drops zero rays while
     256K x 1.5 drops 0.56% — always check `return_info`'s counter when
     tuning it).  2.0 stays the default contract.
+    `streams` runs that many independent chunk pipelines per scan step
+    into private accumulators (exactness unchanged — emissions are
+    additive).  Measured NEUTRAL on v5e at the tuned config-5 setting
+    (5.79 vs 5.78 s): the TPU executes one kernel at a time, so
+    dataflow-independent chains do not overlap; the knob stays for other
+    topologies and as the record of that experiment.
     `eager_sort` compacts at EVERY spawn level (even when the children fit
     capacity): the dead-last sort concentrates live rays so whole kernel
     tiles early-exit; with it off, under-capacity levels skip the sort and
@@ -646,7 +675,7 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     img, dropped = _render_wavefront_impl(
         scene, cfg, chunk_rays=chunk_rays, capacity_factor=capacity_factor,
         eager_sort=eager_sort, interpret=interpret, offset=offset,
-        count=count, ad=ad)
+        count=count, ad=ad, streams=streams)
     if return_info:
         # `dropped` stays a device scalar so return_info works under
         # jit/shard_map (int() would force concretization there).

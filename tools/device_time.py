@@ -99,6 +99,9 @@ def main():
     ap.add_argument("--capacity-factor", type=float, default=2.0,
                     help="wavefront backend: live-ray capacity as a "
                          "multiple of chunk-rays")
+    ap.add_argument("--streams", type=int, default=1,
+                    help="wavefront backend: independent chunk pipelines "
+                         "per scan step")
     args = ap.parse_args()
 
     import jax
@@ -123,7 +126,8 @@ def main():
         interpret = jax.default_backend() != "tpu"
         fn = lambda s: render_pixels_wavefront(
             s, cfg, chunk_rays=args.chunk_rays,
-            capacity_factor=args.capacity_factor, interpret=interpret)
+            capacity_factor=args.capacity_factor, streams=args.streams,
+            interpret=interpret)
     else:
         import jax.numpy as jnp
 
