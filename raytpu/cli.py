@@ -60,6 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "tracer, or the XLA-fused jnp tracer (auto on TPU: "
                         "wavefront for >=128 spheres at depth >=4, else "
                         "pallas)")
+    p.add_argument("--chunk-rays", type=int, default=None,
+                   help="wavefront backend: camera rays per scan chunk "
+                        "(bounds live memory; default 256K)")
+    p.add_argument("--capacity-factor", type=float, default=None,
+                   help="wavefront backend: per-level live-ray capacity as "
+                        "a multiple of chunk-rays (default 2.0; live rays "
+                        "past it are dropped AND counted — tune with the "
+                        "drop counter)")
+    p.add_argument("--streams", type=int, default=None,
+                   help="wavefront backend: independent chunk pipelines "
+                        "per scan step")
     p.add_argument("--list-devices", action="store_true")
     p.add_argument("--device", type=int, default=None,
                    help="render on a single specific device index "
@@ -160,6 +171,11 @@ def main(argv=None) -> int:
             return 2
         scene = jax.device_put(scene, devices[args.device])
 
+    wf_opts = {k: v for k, v in (("chunk_rays", args.chunk_rays),
+                                 ("capacity_factor", args.capacity_factor),
+                                 ("streams", args.streams))
+               if v is not None}
+
     if args.oracle:
         from raytpu.oracle import render_oracle
         img = render_oracle(scene, cfg, cap=args.oracle_cap,
@@ -168,7 +184,8 @@ def main(argv=None) -> int:
         from raytpu.parallel.mesh import make_mesh
         from raytpu.render import render_timed
         mesh = make_mesh() if args.sharded else None
-        img, stats = render_timed(scene, cfg, mesh, backend=args.backend)
+        img, stats = render_timed(scene, cfg, mesh, backend=args.backend,
+                                  wf_opts=wf_opts)
         stats_out = {k: v for k, v in stats.items() if k != "times"}
         print(json.dumps(stats_out))
     else:
@@ -176,11 +193,13 @@ def main(argv=None) -> int:
         if args.sharded:
             from raytpu.render import render_sharded
             img = jax.block_until_ready(
-                render_sharded(scene, cfg, backend=args.backend))
+                render_sharded(scene, cfg, backend=args.backend,
+                               wf_opts=wf_opts))
         else:
             from raytpu.render import render_single
             img = jax.block_until_ready(
-                render_single(scene, cfg, backend=args.backend))
+                render_single(scene, cfg, backend=args.backend,
+                              wf_opts=wf_opts))
 
     if args.output:
         import numpy as np

@@ -62,8 +62,13 @@ def resolve_backend(backend: str = "auto", scene=None,
     return backend
 
 
-def render_single(scene, cfg: RenderConfig, backend: str = "auto"):
-    """One-device full-frame render -> (H, W, 3)."""
+def render_single(scene, cfg: RenderConfig, backend: str = "auto",
+                  wf_opts: dict | None = None):
+    """One-device full-frame render -> (H, W, 3).
+
+    `wf_opts`: wavefront-backend tuning knobs passed straight to
+    render_pixels_wavefront (chunk_rays / capacity_factor / streams /
+    eager_sort); ignored by the other backends."""
     backend = resolve_backend(backend, scene, cfg)
     # Off-TPU an explicitly requested kernel backend runs the Pallas
     # interpreter (the sanitizer mode) rather than failing to lower.
@@ -75,18 +80,21 @@ def render_single(scene, cfg: RenderConfig, backend: str = "auto"):
     if backend == "wavefront":
         from raytpu.kernels import render_image_wavefront
 
-        return render_image_wavefront(scene, cfg, interpret=interpret)
+        return render_image_wavefront(scene, cfg, interpret=interpret,
+                                      **(wf_opts or {}))
     return render_image(scene, cfg)
 
 
 @functools.lru_cache(maxsize=32)
 def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str,
-                       interpret: bool):
+                       interpret: bool, wf_opts: tuple = ()):
     """Compile one sharded render: pixel ids block-sharded over the mesh's
     pixel axis, scene replicated, zero collectives (pixels independent).
 
     `interpret` (pallas sanitizer mode off-TPU) is part of the cache key so a
-    platform switch after the first call cannot reuse a stale closure."""
+    platform switch after the first call cannot reuse a stale closure;
+    `wf_opts` is the wavefront tuning dict as a sorted item tuple (hashable
+    for the same reason)."""
 
     def body(scene, gid):
         if backend == "pallas":
@@ -97,7 +105,8 @@ def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str,
             from raytpu.kernels import render_pixels_wavefront
             return render_pixels_wavefront(scene, cfg, interpret=interpret,
                                            offset=gid[0],
-                                           count=gid.shape[0])
+                                           count=gid.shape[0],
+                                           **dict(wf_opts))
         return render_pixels(scene, cfg, gid)
 
     # check_vma=False: pallas_call outputs carry no varying-axis metadata,
@@ -108,7 +117,8 @@ def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str,
     return jax.jit(fn)
 
 
-def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto"):
+def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto",
+                   wf_opts: dict | None = None):
     """Render the frame with the pixel grid sharded across all devices.
 
     Pads the pixel count up to a multiple of the mesh size by re-rendering
@@ -122,20 +132,23 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto"):
     p = cfg.num_pixels
     per = -(-p // n)
     gid = jnp.minimum(jnp.arange(per * n, dtype=jnp.int32), p - 1)
-    out = _sharded_render_fn(cfg, mesh, backend, interpret)(scene, gid)
+    out = _sharded_render_fn(cfg, mesh, backend, interpret,
+                             tuple(sorted((wf_opts or {}).items())))(
+        scene, gid)
     return out[:p].reshape(cfg.height, cfg.width, 3)
 
 
 def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
-                 iters: int = 3, backend: str = "auto"):
+                 iters: int = 3, backend: str = "auto",
+                 wf_opts: dict | None = None):
     """Render and time it (compile excluded via warmup), returning
     (image, stats).  Mrays/s counts camera rays (pixels * alias^2), the
     same accounting as the reference's per-work-item model; `traced_rays`
     additionally counts every node of the 2^depth bounce tree."""
     if mesh is not None:
-        fn = lambda s: render_sharded(s, cfg, mesh, backend)
+        fn = lambda s: render_sharded(s, cfg, mesh, backend, wf_opts=wf_opts)
     else:
-        fn = lambda s: render_single(s, cfg, backend)
+        fn = lambda s: render_single(s, cfg, backend, wf_opts=wf_opts)
 
     # A device->host scalar fetch is the only reliable completion barrier on
     # every backend (block_until_ready is advisory on the remote-TPU
