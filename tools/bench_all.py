@@ -74,7 +74,24 @@ def main():
                     cfg.rays_per_frame / dt / 1e6, 1)
             except Exception as e:
                 row["wavefront_error"] = f"{type(e).__name__}: {str(e)[:120]}"
-        if scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES:
+        # Training step: the wavefront AD path where the auto heuristic
+        # picks the wavefront forward (large deep scenes — the dense
+        # backward's one-shot reverse sweep at 1080p depth 6 crashes the
+        # TPU worker and was never the supported path there), the fused
+        # dense kernels otherwise.
+        large = (scene.spheres.pos.shape[0] >= 128 and cfg.max_depth >= 4)
+        if large:
+            from raytpu.grad import loss_and_grad_wavefront
+            try:
+                target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+                dt = bench(lambda: float(
+                    loss_and_grad_wavefront(scene, cfg, target)[0]), n=1)
+                row["fwd_bwd_wavefront_ms"] = round(dt * 1e3, 2)
+                row["fwd_bwd_wavefront_mrays_s"] = round(
+                    cfg.rays_per_frame / dt / 1e6, 1)
+            except Exception as e:
+                row["bwd_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+        elif scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES:
             try:
                 target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
                 dt = bench(
