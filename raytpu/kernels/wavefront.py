@@ -513,7 +513,17 @@ def _scatter_emissions(acc, em, pid, npix: int, sorted_ids: bool,
     exactness lemma, is identically zero as a function — every partial is
     where-blocked or intensity-scaled — so the dropped dead tail is
     gradient-exact as well (its cotangent path vanishes with the primal:
-    lax.switch routes the unselected branches' cotangents as zeros)."""
+    lax.switch routes the unselected branches' cotangents as zeros).
+
+    END-TO-END A/B, round 3: a device-profiler trace showed these
+    switches at 10-13 ms each in-frame and the solo-benched plain scatter
+    at ~6 ms, suggesting plain would win — but replacing the switch with
+    plain full-range scatters measured the 1080p d6 frame at 7.71 s vs
+    5.78 s with the switch.  In-frame, the plain scatter costs ~3x its
+    solo-bench figure (composition effect — see tools/chunk_profile.py's
+    docstring), and the dead-prefix skip is a real win.  Moral recorded
+    in CLAUDE.md: solo-benched op costs do not transfer into composed
+    programs; only same-build end-to-end A/Bs decide."""
     safe = jnp.minimum(pid, jnp.int32(npix - 1))
     r = safe.shape[0]
 

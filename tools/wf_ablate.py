@@ -1,13 +1,13 @@
-"""Wavefront frame ablation + per-level liveness probe (config 5).
+"""Wavefront frame timing + per-level liveness probe (config 5).
 
-Answers two questions the end-to-end number can't:
-  * how much of the frame is emission-scatter glue? (re-times the frame
-    with the scatters monkeypatched to no-ops — timing-only: the scatter
-    output never feeds control flow, so the rest of the program's cost is
-    unchanged)
-  * what is the live-ray count per level after each compaction? (drives
-    the scatter-policy and any prefix-sort decisions; printed for the
-    first chunk of the frame)
+Reports the warm frame time, the live-ray count per level after each
+compaction (the capacity/scatter-policy driver), and solo slope timings
+of each level op on the real first-chunk state.  CAVEAT discovered in
+round 3: solo-benched op costs UNDERSTATE the same ops composed into one
+program by ~2x (a standalone one-chunk program costs the same per chunk
+as the full in-scan frame, tools/chunk_profile.py) — use the profiler
+trace in chunk_profile.py for in-frame attribution, and these probes
+only for liveness and relative comparisons.
 
 Usage: python tools/wf_ablate.py [--width 1920 --height 1080 --max-depth 6
                                   --spheres 256]
@@ -64,22 +64,10 @@ def main():
 
     timed("full_s")
 
-    # --- scatter ablation (timing-only) ---
-    orig_se, orig_sw = wf._scatter_emissions, wf._scatter_window
-    wf._scatter_emissions = lambda acc, em, pid, npix, sorted_ids, \
-        n_live=None: acc
-    wf._scatter_window = lambda acc, em, start, npix: acc
-    wf._render_wavefront_impl = wf._render_wavefront_impl.__wrapped__
-    wf._render_wavefront_impl = __import__("jax").jit(
-        wf._render_wavefront_impl,
-        static_argnames=("cfg", "chunk_rays", "capacity_factor",
-                         "eager_sort", "interpret", "count", "ad"))
-    try:
-        timed("no_scatter_s")
-    finally:
-        wf._scatter_emissions, wf._scatter_window = orig_se, orig_sw
-
-    out["scatter_share_s"] = round(out["full_s"] - out["no_scatter_s"], 2)
+    # (A monkeypatch-the-scatter-to-a-no-op ablation used to live here; it
+    # reported a 0.0 s scatter share that a device profiler trace later
+    # contradicted — the real instrument is tools/chunk_profile.py, which
+    # names every op's device time inside one chunk.)
 
     # --- per-level liveness for the first chunk ---
     total = cfg.num_pixels * cfg.samples_per_pixel
