@@ -24,7 +24,8 @@ from raytpu.config import RenderConfig
 from raytpu.scene import Scene, Spheres, Lights, Medium, default_scene, make_material, random_scene
 from raytpu.scene_io import load_scene, save_scene
 from raytpu.trace import render_image, trace_rays, camera_rays
-from raytpu.render import render_single, render_sharded, render_timed
+from raytpu.render import (DroppedRaysError, render_single, render_sharded,
+                           render_timed)
 from raytpu.grad import (fit_scene, image_loss, loss_and_grad,
                          loss_and_grad_pallas, loss_and_grad_pallas_packed,
                          loss_and_grad_sharded, loss_and_grad_wavefront,
@@ -39,7 +40,7 @@ __all__ = [
     "default_scene", "make_material", "random_scene",
     "load_scene", "save_scene",
     "render_image", "trace_rays", "camera_rays",
-    "render_single", "render_sharded", "render_timed",
+    "render_single", "render_sharded", "render_timed", "DroppedRaysError",
     "fit_scene", "image_loss", "loss_and_grad", "loss_and_grad_pallas",
     "loss_and_grad_pallas_packed", "loss_and_grad_sharded",
     "loss_and_grad_wavefront", "pack_target",

@@ -66,8 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--capacity-factor", type=float, default=None,
                    help="wavefront backend: per-level live-ray capacity as "
                         "a multiple of chunk-rays (default 2.0; live rays "
-                        "past it are dropped AND counted — tune with the "
-                        "drop counter)")
+                        "past it are dropped, counted, and reported — a "
+                        "warning by default, 'dropped' in the --time JSON, "
+                        "an error under --strict-drops)")
+    p.add_argument("--strict-drops", action="store_true",
+                   help="exit with an error if the wavefront drops any "
+                        "live rays (capacity overflow) instead of warning")
     p.add_argument("--streams", type=int, default=None,
                    help="wavefront backend: independent chunk pipelines "
                         "per scan step")
@@ -176,30 +180,36 @@ def main(argv=None) -> int:
                                  ("streams", args.streams))
                if v is not None}
 
-    if args.oracle:
-        from raytpu.oracle import render_oracle
-        img = render_oracle(scene, cfg, cap=args.oracle_cap,
-                            fresnel_double=args.fresnel_double)
-    elif args.timeit:
-        from raytpu.parallel.mesh import make_mesh
-        from raytpu.render import render_timed
-        mesh = make_mesh() if args.sharded else None
-        img, stats = render_timed(scene, cfg, mesh, backend=args.backend,
-                                  wf_opts=wf_opts)
-        stats_out = {k: v for k, v in stats.items() if k != "times"}
-        print(json.dumps(stats_out))
-    else:
-        import jax
-        if args.sharded:
-            from raytpu.render import render_sharded
-            img = jax.block_until_ready(
-                render_sharded(scene, cfg, backend=args.backend,
-                               wf_opts=wf_opts))
+    on_drop = "raise" if args.strict_drops else "warn"
+    from raytpu.render import DroppedRaysError
+    try:
+        if args.oracle:
+            from raytpu.oracle import render_oracle
+            img = render_oracle(scene, cfg, cap=args.oracle_cap,
+                                fresnel_double=args.fresnel_double)
+        elif args.timeit:
+            from raytpu.parallel.mesh import make_mesh
+            from raytpu.render import render_timed
+            mesh = make_mesh() if args.sharded else None
+            img, stats = render_timed(scene, cfg, mesh, backend=args.backend,
+                                      wf_opts=wf_opts, on_drop=on_drop)
+            stats_out = {k: v for k, v in stats.items() if k != "times"}
+            print(json.dumps(stats_out))
         else:
-            from raytpu.render import render_single
-            img = jax.block_until_ready(
-                render_single(scene, cfg, backend=args.backend,
-                              wf_opts=wf_opts))
+            import jax
+            if args.sharded:
+                from raytpu.render import render_sharded
+                img = jax.block_until_ready(
+                    render_sharded(scene, cfg, backend=args.backend,
+                                   wf_opts=wf_opts, on_drop=on_drop))
+            else:
+                from raytpu.render import render_single
+                img = jax.block_until_ready(
+                    render_single(scene, cfg, backend=args.backend,
+                                  wf_opts=wf_opts, on_drop=on_drop))
+    except DroppedRaysError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 3
 
     if args.output:
         import numpy as np

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -62,13 +63,43 @@ def resolve_backend(backend: str = "auto", scene=None,
     return backend
 
 
+class DroppedRaysError(RuntimeError):
+    """Live rays exceeded the wavefront's per-level capacity and were
+    dropped — the image is missing their contribution.  Raise the
+    capacity_factor (or chunk_rays) until the drop count is zero."""
+
+
+def _report_drops(dropped, on_drop: str) -> int:
+    """Concretize the wavefront drop counter and report it loudly.
+
+    Round 3 shipped a tuning (256K chunks x capacity 1.5) that silently
+    lost 0.56% of live rays — only bench.py's counter caught it.  Every
+    user-facing render path now routes through here: `on_drop` is
+    "warn" (default), "raise" (strict), or "ignore"."""
+    n = int(dropped)
+    if n > 0 and on_drop == "raise":
+        raise DroppedRaysError(
+            f"wavefront dropped {n} live rays (per-level capacity "
+            f"overflow); increase capacity_factor or chunk_rays")
+    if n > 0 and on_drop == "warn":
+        warnings.warn(
+            f"wavefront dropped {n} live rays (per-level capacity "
+            f"overflow) — the image is missing their light; increase "
+            f"capacity_factor or chunk_rays", RuntimeWarning, stacklevel=3)
+    return n
+
+
 def render_single(scene, cfg: RenderConfig, backend: str = "auto",
-                  wf_opts: dict | None = None):
-    """One-device full-frame render -> (H, W, 3).
+                  wf_opts: dict | None = None, return_info: bool = False,
+                  on_drop: str = "warn"):
+    """One-device full-frame render -> (H, W, 3), or (image, info) with
+    `return_info` where info = {'dropped': int}.
 
     `wf_opts`: wavefront-backend tuning knobs passed straight to
     render_pixels_wavefront (chunk_rays / capacity_factor / streams /
-    eager_sort); ignored by the other backends."""
+    eager_sort); ignored by the other backends.  Wavefront renders that
+    drop live rays (capacity overflow) warn by default — `on_drop` in
+    {"warn", "raise", "ignore"}."""
     backend = resolve_backend(backend, scene, cfg)
     # Off-TPU an explicitly requested kernel backend runs the Pallas
     # interpreter (the sanitizer mode) rather than failing to lower.
@@ -76,13 +107,19 @@ def render_single(scene, cfg: RenderConfig, backend: str = "auto",
     if backend == "pallas":
         from raytpu.kernels import render_image_pallas
 
-        return render_image_pallas(scene, cfg, interpret=interpret)
-    if backend == "wavefront":
+        img = render_image_pallas(scene, cfg, interpret=interpret)
+        info = dict(dropped=0)
+    elif backend == "wavefront":
         from raytpu.kernels import render_image_wavefront
 
-        return render_image_wavefront(scene, cfg, interpret=interpret,
-                                      **(wf_opts or {}))
-    return render_image(scene, cfg)
+        img, info = render_image_wavefront(scene, cfg, interpret=interpret,
+                                           return_info=True,
+                                           **(wf_opts or {}))
+        info = dict(info, dropped=_report_drops(info["dropped"], on_drop))
+    else:
+        img = render_image(scene, cfg)
+        info = dict(dropped=0)
+    return (img, info) if return_info else img
 
 
 @functools.lru_cache(maxsize=32)
@@ -97,32 +134,43 @@ def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str,
     for the same reason)."""
 
     def body(scene, gid):
+        # Every backend returns (pixels, dropped[1]) so the driver can
+        # surface the wavefront drop counter; the other backends never
+        # drop, and `0 * gid[:1]` keeps the zero device-varying for the
+        # jnp path's vma check.
+        zero_drop = jnp.zeros((1,), jnp.int32) + 0 * gid[:1]
         if backend == "pallas":
             from raytpu.kernels import render_pixels_pallas
             return render_pixels_pallas(scene, cfg, interpret=interpret,
-                                        offset=gid[0], count=gid.shape[0])
+                                        offset=gid[0],
+                                        count=gid.shape[0]), zero_drop
         if backend == "wavefront":
             from raytpu.kernels import render_pixels_wavefront
-            return render_pixels_wavefront(scene, cfg, interpret=interpret,
-                                           offset=gid[0],
-                                           count=gid.shape[0],
-                                           **dict(wf_opts))
-        return render_pixels(scene, cfg, gid)
+            pix, info = render_pixels_wavefront(
+                scene, cfg, interpret=interpret, offset=gid[0],
+                count=gid.shape[0], return_info=True, **dict(wf_opts))
+            return pix, info["dropped"].reshape(1)
+        return render_pixels(scene, cfg, gid), zero_drop
 
     # check_vma=False: pallas_call outputs carry no varying-axis metadata,
     # which the default checker rejects; the jnp body is unaffected either
     # way (equality with the single-device render is pinned by tests).
     fn = jax.shard_map(body, mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)),
-                   out_specs=P(PIXEL_AXIS), check_vma=(backend == "jnp"))
+                   out_specs=(P(PIXEL_AXIS), P(PIXEL_AXIS)),
+                   check_vma=(backend == "jnp"))
     return jax.jit(fn)
 
 
 def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto",
-                   wf_opts: dict | None = None):
+                   wf_opts: dict | None = None, return_info: bool = False,
+                   on_drop: str = "warn"):
     """Render the frame with the pixel grid sharded across all devices.
 
     Pads the pixel count up to a multiple of the mesh size by re-rendering
     the last pixel (discarded), so any image size works on any mesh.
+    With `return_info`, returns (image, {'dropped': int}) — the summed
+    per-shard wavefront drop counters; drops warn/raise per `on_drop`
+    (see render_single).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -132,38 +180,48 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto",
     p = cfg.num_pixels
     per = -(-p // n)
     gid = jnp.minimum(jnp.arange(per * n, dtype=jnp.int32), p - 1)
-    out = _sharded_render_fn(cfg, mesh, backend, interpret,
-                             tuple(sorted((wf_opts or {}).items())))(
+    out, drops = _sharded_render_fn(cfg, mesh, backend, interpret,
+                                    tuple(sorted((wf_opts or {}).items())))(
         scene, gid)
-    return out[:p].reshape(cfg.height, cfg.width, 3)
+    img = out[:p].reshape(cfg.height, cfg.width, 3)
+    if backend == "wavefront" or return_info:
+        dropped = _report_drops(jnp.sum(drops), on_drop)
+    else:
+        dropped = 0
+    return (img, dict(dropped=dropped)) if return_info else img
 
 
 def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
                  iters: int = 3, backend: str = "auto",
-                 wf_opts: dict | None = None):
+                 wf_opts: dict | None = None, on_drop: str = "warn"):
     """Render and time it (compile excluded via warmup), returning
     (image, stats).  Mrays/s counts camera rays (pixels * alias^2), the
     same accounting as the reference's per-work-item model; `traced_rays`
-    additionally counts every node of the 2^depth bounce tree."""
+    additionally counts every node of the 2^depth bounce tree.  stats
+    always includes `dropped` (wavefront live rays lost to capacity
+    overflow — 0 means the frame is exact; nonzero warns/raises per
+    `on_drop`)."""
     if mesh is not None:
-        fn = lambda s: render_sharded(s, cfg, mesh, backend, wf_opts=wf_opts)
+        fn = lambda s: render_sharded(s, cfg, mesh, backend, wf_opts=wf_opts,
+                                      return_info=True, on_drop=on_drop)
     else:
-        fn = lambda s: render_single(s, cfg, backend, wf_opts=wf_opts)
+        fn = lambda s: render_single(s, cfg, backend, wf_opts=wf_opts,
+                                     return_info=True, on_drop=on_drop)
 
     # A device->host scalar fetch is the only reliable completion barrier on
     # every backend (block_until_ready is advisory on the remote-TPU
     # platform); jnp.sum keeps the fetched payload at 4 bytes.
     def run(s):
-        img = fn(s)
+        img, info = fn(s)
         float(jnp.sum(img))
-        return img
+        return img, info
 
     for _ in range(max(warmup, 0)):
-        img = run(scene)
+        img, info = run(scene)
     times = []
     for _ in range(max(iters, 1)):
         t0 = time.perf_counter()
-        img = run(scene)
+        img, info = run(scene)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     primary = cfg.rays_per_frame
@@ -175,6 +233,7 @@ def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
         mrays_per_s=primary / dt / 1e6,
         traced_mrays_per_s=tree / dt / 1e6,
         backend=resolve_backend(backend, scene, cfg),
+        dropped=int(info["dropped"]),
         times=times,
     )
     return img, stats
