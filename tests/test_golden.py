@@ -82,3 +82,50 @@ def test_wrong_stack_capacity_does_not_match(golden):
     ref = golden[sorted(set(rows))].astype(np.int64)
     err = np.abs(ours - ref)
     assert err.mean() > 0.5  # clearly worse than the cap=5 match (~1.4)
+
+
+def test_cpu_golden_2_is_byte_identical_to_cpu_golden():
+    """testPPM_CPU_2.ppm == testPPM_CPU.ppm byte-for-byte (measured,
+    tools/fit_old_goldens.py) — the CPU-golden pin
+    (test_native.test_native_cpu_golden_pinned) covers both artifacts."""
+    a = read_ppm("/root/reference/raytracer_gamma/testPPM_CPU.ppm")
+    b = read_ppm("/root/reference/raytracer_gamma/testPPM_CPU_2.ppm")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_old_gpu_goldens_are_one_family():
+    """testPPM_2.ppm and testPPM_GPU.ppm agree at 97.8% byte-exact with
+    each other (one older-revision render family) while both sit at only
+    ~91.6% against testPPM.ppm — the inventory split the best-known-match
+    pins below rely on (tools/fit_old_goldens.py)."""
+    t2 = read_ppm("/root/reference/raytracer_gamma/testPPM_2.ppm").astype(int)
+    tg = read_ppm("/root/reference/raytracer_gamma/testPPM_GPU.ppm").astype(int)
+    bp = np.abs(t2 - tg).max(axis=-1)
+    assert (bp == 0).mean() > 0.94  # 0.950 per-pixel (0.978 per-channel)
+
+
+def test_old_gpu_goldens_pinned():
+    """Best-known-match regression pin for testPPM_2 / testPPM_GPU
+    (VERDICT round-3 item 5): they are renders of an OLDER code revision
+    (the diff vs testPPM concentrates on the transparent/glossy spheres,
+    ~2x darker in the old renders; the closest single-mutation hypothesis
+    — transparency applied twice to the refracted child — reaches 0.90
+    exact, so the old code differed structurally).  The best any
+    stock strict-semantics config reaches is cap=5 / bg_opacity=0 / float
+    Fresnel at 0.885-0.887 byte-exact, mae ~3.1 (full sweep in
+    tools/fit_old_goldens.py).  This pin keeps that match from
+    regressing."""
+    from raytpu.image import tone_map
+    from raytpu.native import render_native
+    scene = default_scene(bg_opacity=0.0)
+    cfg = RenderConfig()
+    img = render_native(scene, cfg, cap=5, fresnel_double=False)
+    ours = tone_map(img).astype(int)
+    for name in ("testPPM_2", "testPPM_GPU"):
+        golden = read_ppm(
+            f"/root/reference/raytracer_gamma/{name}.ppm").astype(int)
+        err = np.abs(ours - golden)
+        by_pix = err.max(axis=-1)
+        assert (by_pix == 0).mean() > 0.87, \
+            f"{name}: {(by_pix == 0).mean():.4f}"
+        assert err.mean() < 3.5, f"{name}: MAE {err.mean():.4f}"
