@@ -420,19 +420,32 @@ class _VjpScene:
 
     Primal values are bit-identical to _SmemScene's: the winning sphere's t
     is recomputed with the same _ray_sphere_t op order, and non-found lanes
-    keep the same kMaxRenderDist=1000 init (raytracer.h:156)."""
+    keep the same kMaxRenderDist=1000 init (raytracer.h:156).
 
-    def __init__(self, scene_smem, vals, n_spheres):
+    Residual forwarding (`sel`): the selection loops are deterministic
+    functions of (scene, state), so a caller that already ran them — the
+    backward sweep's states build runs every level's loops to produce the
+    children — can pass the winning indices in as `sel=(hit_idx, cont_idx)`
+    and this provider skips the fori loops entirely, keeping only the
+    differentiable gather + recompute.  Values are bit-identical (same
+    indices, same gather, same recompute); the indices recorded on
+    `self.sel_rec` after a level are what a build should forward."""
+
+    def __init__(self, scene_smem, vals, n_spheres, sel=None):
         self.scene = scene_smem    # SMEM ref (or any [row, i]-indexable)
         self.vals = vals           # (SCENE_ROWS, N) traced float32
         self.n = n_spheres
+        self.sel = sel             # optional (hit_idx, cont_idx) override
+        self.sel_rec = [None, None]  # indices this level actually used
 
     def closest_hit(self, ox, oy, oz, dx, dy, dz):
-        sg = jax.lax.stop_gradient
-        sox, soy, soz = sg(ox), sg(oy), sg(oz)
-        sdx, sdy, sdz = sg(dx), sg(dy), sg(dz)
-        _, idx = _closest_hit_idx(self.scene, self.n,
-                                  sox, soy, soz, sdx, sdy, sdz)
+        if self.sel is not None:
+            idx = self.sel[0]
+        else:
+            sg = jax.lax.stop_gradient
+            _, idx = _closest_hit_idx(self.scene, self.n, sg(ox), sg(oy),
+                                      sg(oz), sg(dx), sg(dy), sg(dz))
+        self.sel_rec[0] = idx
         found = idx >= 0
 
         fields = _gather_cols(self.vals, idx)
@@ -455,8 +468,12 @@ class _VjpScene:
                                sg(lx), sg(ly), sg(lz), sg(gap))
 
     def primary_container(self, px, py, pz):
-        sg = jax.lax.stop_gradient
-        idx = _container_idx(self.scene, self.n, sg(px), sg(py), sg(pz))
+        if self.sel is not None:
+            idx = self.sel[1]
+        else:
+            sg = jax.lax.stop_gradient
+            idx = _container_idx(self.scene, self.n, sg(px), sg(py), sg(pz))
+        self.sel_rec[1] = idx
         fields = _gather_cols(self.vals, idx)
         got = idx >= 0
         # Non-contained lanes mirror _primary_container's init (ior=1).
@@ -953,15 +970,19 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
     near-tangent lanes (the usual measure-zero noise class), which that
     test's bit-level comparison cannot absorb."""
 
-    def level_fn(sv_vals, lv_vals, bgv_vals, st, spawn, emit=True):
-        scn = _VjpScene(scene_sel, sv_vals, n_spheres)
+    def level_fn(sv_vals, lv_vals, bgv_vals, st, spawn, emit=True,
+                 sel=None, sel_out=False):
+        scn = _VjpScene(scene_sel, sv_vals, n_spheres, sel=sel)
         lights = _ScalarTable(lv_vals)
         bg = dict(matte_r=bgv_vals[0], matte_g=bgv_vals[1],
                   matte_b=bgv_vals[2], ior=bgv_vals[3],
                   opacity=bgv_vals[4])
         em, children = _trace_level(
             scn, lights, n_lights, bg, st, spawn=spawn, emit=emit)
-        return em, (children if spawn else ())
+        out = em, (children if spawn else ())
+        if sel_out:
+            return out + (tuple(scn.sel_rec),)
+        return out
 
     zero = jnp.zeros((TILE_ROWS, LANES), f32)
     one = jnp.ones((TILE_ROWS, LANES), f32)
@@ -971,12 +992,20 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
 
     # States build: only the children matter (emit=False skips the miss
     # paint and the lights x spheres shadow/matte block — children depend
-    # on refraction/reflection, never on shading).
+    # on refraction/reflection, never on shading).  The build's selection
+    # loops (closest-hit argmin + container first-match) are saved per
+    # level and FORWARDED into the reverse sweep's vjp primal, which then
+    # skips both fori loops — the selections are deterministic in
+    # (scene, state), so the reverse recompute was pure duplication
+    # (round-4 residual-forwarding; the full-tree alternative stays
+    # rejected, see _bwd_tile_grads_fulltree).
     states = [state0]
+    sels = []
     for level in range(depth):
         st = states[level]
         if level == 0 or not early_exit:
-            _, children = level_fn(sv, lv, bgv, st, True, emit=False)
+            _, children, sel = level_fn(sv, lv, bgv, st, True, emit=False,
+                                        sel_out=True)
         else:
             # Dead branch outputs derive from the operand (concat x 0), not
             # constants: a cond output that is constant in one branch gets
@@ -984,13 +1013,23 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
             # legalize (tools/mosaic_repros.py cond_vector_select); the
             # operand-derived form lowers as a plain scf.if, like the
             # forward kernel's `dead`.  x * 0 is exactly 0.0 for the finite
-            # values the tracer guarantees.
-            children = jax.lax.cond(
+            # values the tracer guarantees.  The dead sel indices go
+            # through f32 (x*0 stays un-folded under float semantics)
+            # before the int cast; their value (-1 = none) is never
+            # consumed — the reverse sweep's matching dead cond skips the
+            # vjp — but -1 keeps them semantically honest.
+            def dead(s):
+                ch = tuple(jnp.concatenate([x, x], axis=0) * f32(0.0)
+                           for x in s)
+                no_idx = (s[0] * f32(0.0) - f32(1.0)).astype(jnp.int32)
+                return ch, (no_idx, no_idx)
+            children, sel = jax.lax.cond(
                 _bwd_alive(st),
-                lambda s: level_fn(sv, lv, bgv, s, True, emit=False)[1],
-                lambda s: tuple(jnp.concatenate([x, x], axis=0) * f32(0.0)
-                                for x in s), st)
+                lambda s: level_fn(sv, lv, bgv, s, True, emit=False,
+                                   sel_out=True)[1:],
+                dead, st)
         states.append(children)
+        sels.append(sel)
 
     def addt(a, b):
         return jax.tree_util.tree_map(jnp.add, a, b)
@@ -1021,16 +1060,21 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
     for level in range(depth, -1, -1):
         spawn = level < depth
         rows_l = TILE_ROWS * 2 ** level
-        fn = lambda s_, l_, b_, st: level_fn(s_, l_, b_, st, spawn)
+        # Spawn levels re-use the build's saved selections; the last level
+        # has no build pass, so its vjp primal runs the loops itself (once,
+        # as before).
+        sel_l = sels[level] if spawn else None
         cot_em1 = tuple(
             jnp.broadcast_to(g, (CHUNK // TILE_ROWS, TILE_ROWS, LANES))
             .reshape(CHUNK, LANES) for g in gw) if rows_l > CHUNK else \
             tuple(jnp.broadcast_to(g, (2 ** level, TILE_ROWS, LANES))
                   .reshape(rows_l, LANES) for g in gw)
 
-        def vjp_block(st_b, cc_b, guard):
+        def vjp_block(st_b, cc_b, guard, sel_b=None):
             def run(args):
                 st_, cc_ = args
+                fn = lambda s_, l_, b_, st: level_fn(s_, l_, b_, st, spawn,
+                                                     sel=sel_b)
                 _, vjp = jax.vjp(fn, sv, lv, bgv, st_)
                 return vjp((cot_em1, cc_))
             if not guard:
@@ -1049,18 +1093,22 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
 
         if rows_l <= CHUNK:
             ds, dl, db, cot_state = vjp_block(states[level], cot_children,
-                                              early_exit and level > 0)
+                                              early_exit and level > 0,
+                                              sel_b=sel_l)
         else:
             cot_state_parts = []
             ds = dl = db = None
             for c0 in range(0, rows_l, CHUNK):
                 st_c = tuple(s[c0:c0 + CHUNK] for s in states[level])
+                sel_c = (tuple(s[c0:c0 + CHUNK] for s in sel_l)
+                         if sel_l is not None else None)
                 cc_c = tuple(
                     jnp.concatenate([cc[c0:c0 + CHUNK],
                                      cc[rows_l + c0:rows_l + c0 + CHUNK]],
                                     axis=0)
                     for cc in cot_children) if spawn else ()
-                ds_c, dl_c, db_c, cot_c = vjp_block(st_c, cc_c, early_exit)
+                ds_c, dl_c, db_c, cot_c = vjp_block(st_c, cc_c, early_exit,
+                                                    sel_b=sel_c)
                 ds = ds_c if ds is None else addt(ds, ds_c)
                 dl = dl_c if dl is None else addt(dl, dl_c)
                 db = db_c if db is None else addt(db, db_c)
