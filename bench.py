@@ -236,14 +236,14 @@ def main():
                               alias_factor=3)
             s5 = random_scene(256, seed=3)
 
-            # 512K chunks + capacity 1.5: the zero-drop frontier measured
-            # for this scene (256K chunks drop 0.56% at factor 1.5 — a
-            # thin pixel strip can run hot on live rays; BASELINE.md
-            # round-3 studies).  The dropped counter keeps the number
+            # 256K chunks + capacity 1.25: the zero-drop frontier after
+            # round 4's strided pixel-major chunks (every chunk sees
+            # frame-average liveness; tools/wf_frontier.py, BASELINE.md
+            # round-4 studies).  The dropped counter keeps the number
             # honest — any drop is reported alongside the time.
             def fn5():
                 img, info = render_pixels_wavefront(
-                    s5, c5, chunk_rays=1 << 19, capacity_factor=1.5,
+                    s5, c5, chunk_rays=1 << 18, capacity_factor=1.25,
                     return_info=True)
                 return float(jnp.sum(img)), int(info["dropped"])
 

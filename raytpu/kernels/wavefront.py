@@ -20,10 +20,17 @@ recover the work.  This module restructures the trace as a *wavefront*
     as exact zeros).  Sorting-by-pixel additionally restores the spatial
     coherence the per-tile early-exit cond needs, and makes the emission
     scatter-add run with sorted indices;
-  * each level's emissions scatter-add into a per-pixel accumulator
-    (the reference accumulates into a per-work-item colourSum register,
+  * each level's emissions fold into a per-pixel accumulator (the
+    reference accumulates into a per-work-item colourSum register,
     raytrace_kernel.cl:944-966; with rays re-ordered across pixels the
-    accumulator must be pixel-indexed instead);
+    accumulator must be pixel-indexed instead).  Chunks enumerate rays
+    PIXEL-MAJOR (ray -> (pixel = id // spp, sample = id % spp)), so a
+    chunk covers chunk/spp distinct pixels: level 0 accumulates with a
+    positional reshape-sum (no scatter), and compacted levels pre-reduce
+    each pid's run with a segmented scan and scatter ONE element per
+    distinct pixel (`_segsum_scatter` — the round-4 replacement for the
+    live-prefix switch scatter, which an in-frame trace had at 44% of
+    the chunk);
   * the frame is processed in fixed-capacity ray chunks under `lax.scan`,
     so live memory is O(capacity), not O(2^depth x rays).
 
@@ -106,6 +113,11 @@ _DEAD_BIT = np.int32(1 << 30)
 
 def _align_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+    return a * b // math.gcd(a, b)
 
 
 def _make_wf_kernel(n_spheres: int, n_lights: int, spawn: bool):
@@ -567,6 +579,140 @@ def _scatter_window(acc, em, start, npix: int):
     return tuple(outs)
 
 
+def _window_sum(acc, em, w0, ws: int, spp: int, npix: int):
+    """Level-0 emission accumulation under the PIXEL-MAJOR ray order
+    (ray i of a chunk maps to pixel w0 + i // spp): the per-pixel sum is a
+    plain (ws, spp) reshape + row sum, placed with one dynamic_update_slice
+    into a zero extension — no scatter at all, and trivially differentiable
+    (transpose = slice + broadcast).  Tail rays past the frame total carry
+    exactly-zero emissions and land in ext slots >= npix, which the [:npix]
+    slice drops — exact.  Replaces the sample-major `_scatter_window` (kept
+    below for the unsorted-fallback path's tests/tools)."""
+    outs = []
+    w0 = jnp.asarray(w0, jnp.int32)
+    for a, x in zip(acc, em):
+        s = x.reshape(ws, spp).sum(axis=1)
+        ext = jnp.zeros((npix + ws,), jnp.float32)
+        ext = jax.lax.dynamic_update_slice(ext, s, (w0,))
+        outs.append(a + ext[:npix])
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _segsum_scatter(acc, em, pid, npix: int, prefix: int):
+    """acc[c][pid] += em[c] for PID-SORTED rays, via exact segmented
+    pre-reduction: one level's rays cover at most `prefix` distinct pixels
+    (pixel-major chunks: chunk // samples_per_pixel), so summing each
+    pid-run first and scattering ONE element per run cuts the scattered
+    element count ~spp x live-fraction-fold.  The scatter-add costs
+    ~3 ns per ELEMENT regardless of values (tools/scatter_bench.py), so
+    this is the only remaining lever; measured 1.33 ms vs 13.5 ms for the
+    full-range scatter at cap 1.5M/58K-unique solo (tools/segsum_bench.py),
+    and it replaced the round-3 live-prefix lax.switch form, which the
+    round-4 in-frame trace attributed 44% of the chunk to
+    (tools/chunk_profile.py).
+
+    Stages (all lane-dense 1-D ops):
+      1. log2(r) roll/compare/add steps: run-inclusive sums (the run's
+         LAST element holds the run total);
+      2. boundary mask pid[i] != pid[i+1]; non-boundaries and the dead
+         tail (pid 0x3FFFFFFF, exact-zero sums) get sort key 2^30;
+      3. one 4-operand co-sort brings the <= `prefix` run totals to a
+         sorted prefix;
+      4. scatter-add exactly `prefix` elements (clamped key, zero values
+         past the live runs — exact).
+
+    Exactness: per-pixel totals equal the plain scatter's up to FP
+    reassociation (the run sum is a shifted-adds tree instead of the
+    scatter's sequential order — the scatter's own ordering is
+    unspecified anyway, and every wavefront contract is tolerance-based).
+
+    Backward: the map em -> acc is linear with transpose d_em[i] =
+    d_acc[pid[i]] — one gather, the SAME op XLA's scatter-add transpose
+    emits — declared via custom_vjp so autodiff never differentiates
+    through the sort (XLA's sort-VJP lowers to ~0.6 GB/s per-field
+    gathers, the round-3 _compact_ad lesson)."""
+    r = pid.shape[0]
+    steps = max(1, (r - 1).bit_length())
+    idx = jnp.arange(r, dtype=jnp.int32)
+    e = list(em)
+    for k in range(steps):
+        sh = 1 << k
+        ok = (pid == jnp.roll(pid, sh)) & (idx >= sh)
+        e = [x + jnp.where(ok, jnp.roll(x, sh), f32(0.0)) for x in e]
+    last = (pid != jnp.roll(pid, -1)) | (idx == r - 1)
+    key = jnp.where(last, pid, jnp.int32(1) << 30)
+    # Non-boundary values MUST be zeroed (not just keyed to the tail):
+    # when live runs < prefix, the kept slice reaches into them, and the
+    # npix-1 clamp would add their partial sums to the last pixel.
+    bs = tuple(jnp.where(last, x, f32(0.0)) for x in e)
+    srt = jax.lax.sort((key,) + bs, num_keys=1, is_stable=False)
+    kp = jnp.minimum(srt[0][:prefix], jnp.int32(npix - 1))
+    return tuple(a.at[kp].add(x[:prefix], indices_are_sorted=True)
+                 for a, x in zip(acc, srt[1:]))
+
+
+def _segsum_scatter_fwd(acc, em, pid, npix: int, prefix: int):
+    return _segsum_scatter(acc, em, pid, npix, prefix), (pid,)
+
+
+def _segsum_scatter_bwd(npix: int, prefix: int, res, d_acc):
+    (pid,) = res
+    safe = jnp.minimum(pid, jnp.int32(npix - 1))
+    d_em = tuple(d[safe] for d in d_acc)
+    d_pid = np.zeros(pid.shape, jax.dtypes.float0)
+    return d_acc, d_em, d_pid
+
+
+_segsum_scatter.defvjp(_segsum_scatter_fwd, _segsum_scatter_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _unstripe(acc, ws: int, stride: int, npix: int):
+    """Slot-space accumulator -> pixel order, once per frame.
+
+    Chunks take STRIDED pixel sets (chunk c owns pixels {c + k*stride}),
+    so every chunk sees frame-average liveness instead of a hot
+    horizontal strip — the measured reason pixel-major contiguous chunks
+    needed capacity 2.0 where striding runs 1.5 drop-free (BASELINE.md
+    round-4 study).  Accumulation happens in chunk-contiguous SLOT space
+    (slot = c*ws + k, what level 0's reshape-sum and the segsum scatter
+    naturally produce); this one 4-operand co-sort maps slots to pixels
+    (pixel of slot = c + k*stride — all distinct, so the unstable sort
+    is the exact permutation), and pad slots (pixel >= npix, always
+    zero) sort to the sliced-off tail.
+
+    Backward: the permutation's transpose is the inverse permutation —
+    one more co-sort keyed by the forward's destination, never XLA's
+    sort-VJP gathers (the _compact_ad lesson)."""
+    nslots = ws * stride
+    slot = jnp.arange(nslots, dtype=jnp.int32)
+    p = slot // ws + (slot % ws) * stride
+    srt = jax.lax.sort((p,) + tuple(acc), num_keys=1, is_stable=False)
+    return tuple(x[:npix] for x in srt[1:])
+
+
+def _unstripe_fwd(acc, ws: int, stride: int, npix: int):
+    return _unstripe(acc, ws, stride, npix), None
+
+
+def _unstripe_bwd(ws: int, stride: int, npix: int, _res, d_out):
+    nslots = ws * stride
+    pad = nslots - npix
+    dp = tuple(jnp.concatenate([d, jnp.zeros((pad,), d.dtype)])
+               for d in d_out)
+    # d_acc[slot] = d_pixel[p_of_slot]: co-sort the cotangents by the
+    # slot each pixel came from (slot of pixel p = (p % stride)*ws +
+    # p//stride, all distinct).
+    p = jnp.arange(nslots, dtype=jnp.int32)
+    slot_of_p = (p % stride) * ws + p // stride
+    inv = jax.lax.sort((slot_of_p,) + dp, num_keys=1, is_stable=False)
+    return (inv[1:],)
+
+
+_unstripe.defvjp(_unstripe_fwd, _unstripe_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "chunk_rays", "capacity_factor", "eager_sort", "interpret",
     "count", "ad", "streams"))
@@ -586,36 +732,62 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
     npix = cfg.num_pixels if count is None else count
     if npix >= int(_DEAD_BIT):
         raise ValueError("wavefront sort key packs pixel ids into 30 bits")
-    total = npix * cfg.samples_per_pixel
-    chunk = _align_up(min(chunk_rays, total), WF_BLOCK)
+    spp = cfg.samples_per_pixel
+    total = npix * spp
+    # PIXEL-MAJOR, STRIDED ray order: chunk c owns pixels {c + k*n_chunks}
+    # for k in [0, ws), all spp samples of a pixel adjacent (ray ->
+    # (k = id//spp - c*ws, sample = id % spp)).  Pixel-major bounds every
+    # level's distinct-accumulator-id count by ws = chunk/spp (the
+    # _segsum_scatter prefix), makes level 0's accumulation a plain
+    # reshape-sum, and keeps the spp near-identical AA rays together.
+    # The STRIDE gives every chunk frame-average liveness: contiguous
+    # pixel-major chunks are ~30-row horizontal strips whose hot spots
+    # needed capacity 2.0 to run drop-free where striding runs 1.5
+    # (round-4 frontier probes, BASELINE.md).  Accumulation runs on
+    # chunk-contiguous SLOT ids (slot = id // spp); _unstripe maps slots
+    # to pixels once at the end.  (The round-1..3 sample-major order —
+    # pid = ids % npix — spread a pixel's samples across chunks: every
+    # pid in a chunk was distinct and the per-level emission scatter had
+    # nothing to pre-reduce; the round-4 in-frame trace put that scatter
+    # at 44% of the chunk.)  Chunks align to lcm(WF_BLOCK, spp) so the
+    # reshape and the kernel grid both divide.
+    chunk = _align_up(min(chunk_rays, total), _lcm(WF_BLOCK, spp))
+    ws = chunk // spp
     # int() so a float factor (e.g. 2.0) cannot poison the static slice
     # bounds downstream in _compact.
     cap = _align_up(int(capacity_factor * chunk), WF_BLOCK)
     n_chunks = -(-total // chunk)
+    nslots = n_chunks * ws
+    if nslots >= int(_DEAD_BIT):
+        raise ValueError("wavefront sort key packs slot ids into 30 bits")
     offset = jnp.int32(offset)
 
     def trace_stream(acc, dropped, start):
-        ids = start + jnp.arange(chunk, dtype=jnp.int32)
-        in_range = ids < total
-        ids = jnp.minimum(ids, total - 1)
-        sample = ids // npix
-        pid = ids % npix
+        c_idx = start // chunk                   # this chunk's stripe
+        k = jnp.arange(chunk, dtype=jnp.int32) // spp   # stripe-local
+        slot = start // spp + k                  # chunk-contiguous acc id
+        gpid = c_idx + k * n_chunks              # window-local pixel id
+        # Stripe pixels past the window (k*n_chunks overshoot) and whole
+        # tail stripes (streams rounding) carry zero intensity: their
+        # emissions are exact zeros wherever their slots land.
+        in_range = (gpid < npix) & (c_idx < n_chunks)
+        gpid = jnp.minimum(gpid, npix - 1)
+        sample = jnp.arange(chunk, dtype=jnp.int32) % spp
         si = sample // cfg.alias_factor
         sj = sample % cfg.alias_factor
-        dx, dy, dz = _camera_dirs(cfg, offset + pid, si, sj)
+        dx, dy, dz = _camera_dirs(cfg, offset + gpid, si, sj)
         zero = jnp.zeros_like(dx)
         one = jnp.where(in_range, f32(1.0), f32(0.0))
         # Camera rays start in the background medium: index -1.
         state = (zero, zero, zero, dx, dy, dz, one, one, one,
                  zero + f32(-1.0))
 
-        # pid is sorted only when it came out of _compact: level-0 pids
-        # wrap at sample boundaries and the no-sort branch interleaves
-        # [refraction | reflection] blocks tile-wise.  n_live (the kept
-        # live-prefix length, also from _compact) lets the scatter run on
-        # just the live prefix.
-        pid_sorted = False
-        n_live = None
+        # slot ids are sorted only when they came out of _compact (the
+        # no-sort branch interleaves [refraction | reflection] blocks
+        # tile-wise); sorted levels take the segmented-reduction
+        # accumulator.
+        sid = slot
+        sid_sorted = False
         for level in range(cfg.max_depth + 1):
             spawn = level < cfg.max_depth
             if ad:
@@ -628,32 +800,36 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                     scene_tbl, lights_tbl, bg_tbl, state, n_spheres,
                     n_lights, spawn, interpret)
             if level == 0:
-                # Camera rays: pids are contiguous mod npix — dense adds.
-                acc = _scatter_window(acc, em, start, npix)
+                # Camera rays: slots are positional — reshape-sum + one
+                # window DUS, no scatter (exact; see _window_sum).
+                acc = _window_sum(acc, em, start // spp, ws, spp, nslots)
+            elif sid_sorted:
+                # Post-compaction levels: slot-sorted, <= ws distinct
+                # live slots — segmented pre-reduction, then a static
+                # ws-length scatter (see _segsum_scatter; custom VJP
+                # keeps the AD path off XLA's sort-VJP and off the
+                # round-3 lax.switch whose differentiated branches blew
+                # the compiled program size).
+                acc = _segsum_scatter(acc, em, sid, nslots,
+                                      min(ws, sid.shape[0]))
             else:
-                # Post-compaction levels keep dead rays at the tail: only
-                # the live prefix is scattered (see _scatter_emissions).
-                # The AD path skips the prefix switch: the scatter share
-                # is ~0 of a frame either way (BASELINE.md round-3 study),
-                # and 9 differentiated-and-transposed switch branches per
-                # level inside checkpoint+scan blow the compiled program's
-                # size (XLA CPU compile segfaulted on the full test-suite's
-                # accumulated state with the switch in the grad path).
-                acc = _scatter_emissions(
-                    acc, em, pid, npix, sorted_ids=pid_sorted,
-                    n_live=(n_live if pid_sorted and not ad else None))
+                # Unsorted fallback (eager_sort off while children fit
+                # capacity): plain scatter, bit-identical to an unsorted
+                # wavefront.
+                acc = _scatter_emissions(acc, em, sid, nslots,
+                                         sorted_ids=False)
             if not spawn:
                 break
             r = state[0].shape[0]
-            pid2 = _dup_tilewise(pid, r // WF_BLOCK)
+            sid2 = _dup_tilewise(sid, r // WF_BLOCK)
             if 2 * r <= cap and not eager_sort:
-                state, pid = children, pid2      # fits: no sort, no drops
-                pid_sorted = False
+                state, sid = children, sid2      # fits: no sort, no drops
+                sid_sorted = False
             else:
                 keep = min(2 * r, cap)
                 compact = _compact_ad if ad else _compact
-                state, pid, ndrop, n_live = compact(children, pid2, keep)
-                pid_sorted = True
+                state, sid, ndrop, _ = compact(children, sid2, keep)
+                sid_sorted = True
                 dropped = dropped + ndrop
         return acc, dropped
 
@@ -669,14 +845,15 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
         acc, dropped = carry
         parts = []
         for s_i in range(streams):
-            acc_s = tuple(jnp.zeros((npix,), jnp.float32) for _ in range(3))
+            acc_s = tuple(jnp.zeros((nslots,), jnp.float32)
+                          for _ in range(3))
             acc_s, dropped = trace_stream(acc_s, dropped, start_vec[s_i])
             parts.append(acc_s)
         acc = tuple(a + sum(p[c] for p in parts)
                     for c, a in enumerate(acc))
         return (acc, dropped), None
 
-    acc0 = tuple(jnp.zeros((npix,), jnp.float32) for _ in range(3))
+    acc0 = tuple(jnp.zeros((nslots,), jnp.float32) for _ in range(3))
     n_steps = -(-n_chunks // streams)
     # Tail starts past `total` are harmless: their rays are in_range-masked
     # to zero intensity, and zero emissions fold into acc exactly.
@@ -688,6 +865,10 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
     # kernels then rematerialize inside their own backward).
     body = jax.checkpoint(trace_chunk) if ad else trace_chunk
     (acc, dropped), _ = jax.lax.scan(body, (acc0, jnp.int32(0)), starts)
+    if n_chunks > 1:
+        acc = _unstripe(acc, ws, n_chunks, npix)
+    else:
+        acc = tuple(a[:npix] for a in acc)       # identity stripe
     weight = f32(1.0 / cfg.samples_per_pixel)
     return jnp.stack(acc, axis=-1) * weight, dropped
 
@@ -708,17 +889,18 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     backward kernel) and XLA autodiff carries cotangents through the
     sort/scatter glue — see raytpu.grad.loss_and_grad_wavefront.
 
-    `chunk_rays` bounds live memory (camera rays per scan step); the
-    default 256K is a measured locality sweet spot on v5e — the 1080p d6
-    config-5 frame runs 7.50 s at 1M-ray chunks, 6.46 s at 512K, 6.27 s
-    at 256K, 6.19 s at 128K (all at the default capacity; total bytes
-    are chunk-size-invariant, the smaller working set wins).
-    `capacity_factor` x chunk_rays is the per-level live-ray capacity;
-    shrinking it shrinks every level array and is the other frame-time
-    lever, but the safe factor DEPENDS ON chunk size (smaller chunks see
-    hotter pixel strips: on config 5, 512K x 1.5 drops zero rays while
-    256K x 1.5 drops 0.56% — always check `return_info`'s counter when
-    tuning it).  2.0 stays the default contract.
+    `chunk_rays` bounds live memory (camera rays per scan step); smaller
+    working sets win on v5e until chunks get too small to fill the
+    machine.  `capacity_factor` x chunk_rays is the per-level live-ray
+    capacity; shrinking it shrinks every level array and is the other
+    frame-time lever.  Since round 4's STRIDED chunk->pixel assignment
+    every chunk sees frame-average liveness (not a hot pixel strip), so
+    the zero-drop frontier no longer depends on chunk size: config-5 d6
+    measures 3.84 s at 256K x 1.25, 4.09 s at 512K x 1.25, 4.13 s at
+    256K x 1.5 — all zero drops (tools/wf_frontier.py, BASELINE.md
+    round-4 studies; the pre-striding contiguous order needed 2.0).
+    Always check `return_info`'s counter when tuning — capacity needs
+    are scene-dependent.  2.0 stays the default contract.
     `streams` runs that many independent chunk pipelines per scan step
     into private accumulators (exactness unchanged — emissions are
     additive).  Measured NEUTRAL on v5e at the tuned config-5 setting

@@ -20,3 +20,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_caches():
+    """XLA:CPU segfaults compiling large wavefront programs ONLY when
+    ~100 tests' jit caches have accumulated in-process (round-3 finding,
+    CLAUDE.md; round 4 reproduced it on the non-AD wavefront after the
+    segmented-reduction accumulator grew the compiled program).  Clearing
+    at module boundaries bounds the cache pressure at negligible
+    recompile cost (cross-module jit sharing is minimal)."""
+    jax.clear_caches()
+    yield

@@ -66,20 +66,27 @@ def main():
     n_lights = int(scene.lights.pos.shape[0])
     chunk = wf._align_up(min(args.chunk_rays,
                              cfg.num_pixels * cfg.samples_per_pixel),
-                         wf.WF_BLOCK)
+                         wf._lcm(wf.WF_BLOCK, cfg.samples_per_pixel))
     cap = wf._align_up(int(args.capacity_factor * chunk), wf.WF_BLOCK)
     npix = cfg.num_pixels
     scene_tbl, lights_tbl, bg_tbl = wf._scene_tables(scene)
     interpret = jax.default_backend() != "tpu"
 
     def one_chunk(stbl, ltbl, btbl, start):
+        # Match the SHIPPED path op-for-op (pixel-major ids, level-0
+        # reshape-sum, per-level segmented-reduction accumulate — the
+        # round-4 rerun of this tool first profiled a plain-scatter
+        # variant by mistake and attributed 57% of the chunk to scatter
+        # fusions the real frame did not run).
         acc = tuple(jnp.zeros((npix,), jnp.float32) for _ in range(3))
         ids = start + jnp.arange(chunk, dtype=jnp.int32)
-        total = npix * cfg.samples_per_pixel
+        spp = cfg.samples_per_pixel
+        total = npix * spp
+        ws = chunk // spp
         in_range = ids < total
         ids = jnp.minimum(ids, total - 1)
-        sample = ids // npix
-        pid = ids % npix
+        pid = ids // spp
+        sample = ids % spp
         si = sample // cfg.alias_factor
         sj = sample % cfg.alias_factor
         dx, dy, dz = wf._camera_dirs(cfg, pid, si, sj)
@@ -87,23 +94,21 @@ def main():
         one = jnp.where(in_range, wf.f32(1.0), wf.f32(0.0))
         state = (zero, zero, zero, dx, dy, dz, one, one, one,
                  zero + wf.f32(-1.0))
-        pid_sorted = False
         for level in range(cfg.max_depth + 1):
             spawn = level < cfg.max_depth
             em, children = wf._wf_level_call(
                 stbl, ltbl, btbl, state, n, n_lights, spawn, interpret)
             if level == 0:
-                acc = wf._scatter_window(acc, em, start, npix)
+                acc = wf._window_sum(acc, em, start // spp, ws, spp, npix)
             else:
-                acc = wf._scatter_emissions(acc, em, pid, npix,
-                                            sorted_ids=pid_sorted)
+                acc = wf._segsum_scatter(acc, em, pid, npix,
+                                         min(ws, pid.shape[0]))
             if not spawn:
                 break
             r = state[0].shape[0]
             pid2 = wf._dup_tilewise(pid, r // wf.WF_BLOCK)
             keep = min(2 * r, cap)
             state, pid, _, _ = wf._compact(children, pid2, keep)
-            pid_sorted = True
         return sum(jnp.sum(a) for a in acc)
 
     f = jax.jit(one_chunk)

@@ -152,8 +152,25 @@ def main():
         return jax.lax.switch(branch_idx, [mk(k) for k in range(segs + 1)],
                               acc, e)
 
+    def scat_window3(acc3, em_, pid_, salt):
+        # ONE scatter-add with a (3,)-channel window per index instead of
+        # three scalar scatters: operand (3, npix), updates (3, r) — both
+        # lane-dense layouts — shared sorted indices.  Tests whether the
+        # ~3 ns/element cost is per scatter INDEX (then this is 3x fewer
+        # billable elements) or per scalar (then it's neutral).
+        e = (em_[0] + salt,) + em_[1:]
+        upd = jnp.stack(e, axis=0)                  # (3, r)
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(0,), inserted_window_dims=(1,),
+            scatter_dims_to_operand_dims=(1,))
+        return (jax.lax.scatter_add(acc3, pid_[:, None], upd, dn,
+                                    indices_are_sorted=True),)
+
+    acc3 = jnp.zeros((3, npix), jnp.float32)
+
     n_all = jnp.int32(r)
     n_q = jnp.int32(q)
+    run("scat_window3", scat_window3, (acc3, em, pid))
     run("scat_sorted", scat_sorted, (acc, em, pid))
     run("scat_plain", scat_plain, (acc, em, pid))
     run("scat_unique_sorted", scat_unique, (acc, em, uniq))

@@ -70,14 +70,16 @@ def main():
     # names every op's device time inside one chunk.)
 
     # --- per-level liveness for the first chunk ---
-    total = cfg.num_pixels * cfg.samples_per_pixel
-    chunk = wf._align_up(min(args.chunk_rays, total), wf.WF_BLOCK)
+    spp = cfg.samples_per_pixel
+    total = cfg.num_pixels * spp
+    chunk = wf._align_up(min(args.chunk_rays, total),
+                         wf._lcm(wf.WF_BLOCK, spp))
     cap = wf._align_up(int(2 * chunk), wf.WF_BLOCK)
     scene_tbl, lights_tbl, bg_tbl = wf._scene_tables(scene)
     npix = cfg.num_pixels
     ids = jnp.arange(chunk, dtype=jnp.int32)
-    sample = ids // npix
-    pid = ids % npix
+    pid = ids // spp
+    sample = ids % spp
     si = sample // cfg.alias_factor
     sj = sample % cfg.alias_factor
     dx, dy, dz = wf._camera_dirs(cfg, pid, si, sj)
