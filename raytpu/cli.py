@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default=None, help="output PPM path")
     p.add_argument("--sharded", action="store_true",
                    help="shard the pixel grid over all devices")
+    p.add_argument("--interleave", action="store_true",
+                   help="with --sharded: give each device the strided "
+                        "pixel set {shard + j*mesh} instead of a "
+                        "contiguous block — balances hot-strip live-ray "
+                        "load (up to 2x under block sharding); output "
+                        "is bit-identical")
     p.add_argument("--oracle", action="store_true",
                    help="render with the strict numpy oracle (slow)")
     p.add_argument("--oracle-cap", type=int, default=5,
@@ -192,7 +198,8 @@ def main(argv=None) -> int:
             from raytpu.render import render_timed
             mesh = make_mesh() if args.sharded else None
             img, stats = render_timed(scene, cfg, mesh, backend=args.backend,
-                                      wf_opts=wf_opts, on_drop=on_drop)
+                                      wf_opts=wf_opts, on_drop=on_drop,
+                                      interleave=args.interleave)
             stats_out = {k: v for k, v in stats.items() if k != "times"}
             print(json.dumps(stats_out))
         else:
@@ -201,7 +208,8 @@ def main(argv=None) -> int:
                 from raytpu.render import render_sharded
                 img = jax.block_until_ready(
                     render_sharded(scene, cfg, backend=args.backend,
-                                   wf_opts=wf_opts, on_drop=on_drop))
+                                   wf_opts=wf_opts, on_drop=on_drop,
+                                   interleave=args.interleave))
             else:
                 from raytpu.render import render_single
                 img = jax.block_until_ready(

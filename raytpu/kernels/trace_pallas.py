@@ -736,7 +736,7 @@ def _camera_dirs(cfg: RenderConfig, gid, si, sj):
 
 
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
-                 total_pixels: int):
+                 total_pixels: int, stride: int = 1):
     alias = cfg.alias_factor
 
     def kernel(scene_ref, scene_vmem_ref, lights_ref, bg_ref, offset_ref,
@@ -749,7 +749,12 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
-        gid = offset_ref[0, 0] + tile * TILE_PIXELS + rows * LANES + lanes
+        # stride > 1: this launch owns the INTERLEAVED pixel set
+        # {offset + j*stride} — the per-shard form that balances the
+        # frame's hot strips across devices (BASELINE.md round-4
+        # shard-balance study; stride = mesh size, offset = shard id).
+        gid = offset_ref[0, 0] + (tile * TILE_PIXELS + rows * LANES
+                                  + lanes) * stride
         gid = jnp.minimum(gid, total_pixels - 1)  # pad tail re-renders
 
         # All alias^2 supersamples in one grid step (raytrace_kernel.cl:945):
@@ -784,18 +789,18 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "interpret", "count"))
+                   static_argnames=("cfg", "interpret", "count", "stride"))
 def _forward_tiles(scene, cfg: RenderConfig, interpret: bool, offset,
-                   count: int):
+                   count: int, stride: int = 1):
     """The fused forward kernel launch: (3, tiles*TILE_ROWS, LANES) native
-    tiled output for pixels [offset, offset+count)."""
+    tiled output for pixels {offset + j*stride : j < count}."""
     n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
     offset_tbl = jnp.asarray(offset, jnp.int32).reshape(1, 1)
     tiles = -(-count // TILE_PIXELS)
 
-    kernel = _make_kernel(cfg, n_spheres, n_lights, cfg.num_pixels)
+    kernel = _make_kernel(cfg, n_spheres, n_lights, cfg.num_pixels, stride)
     return pl.pallas_call(
         kernel,
         grid=(tiles,),
@@ -820,21 +825,25 @@ def _forward_tiles(scene, cfg: RenderConfig, interpret: bool, offset,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "interpret", "count"))
+                   static_argnames=("cfg", "interpret", "count", "stride"))
 def render_pixels_pallas(scene, cfg: RenderConfig, interpret: bool = False,
-                         offset=0, count: int | None = None):
-    """Render `count` pixels starting at flat pixel id `offset` with the
-    fused kernel -> (count, 3) colours.
+                         offset=0, count: int | None = None,
+                         stride: int = 1):
+    """Render the `count` pixels {offset + j*stride : j < count} with the
+    fused kernel -> (count, 3) colours (stride 1 = a flat block, the
+    default full frame).
 
     The scene rides in as two packed SMEM tables; sphere/light counts and
     every config knob are compile-time constants, as in the reference where
     they are kernel arguments resolved per launch (main.cpp:338-350).
     `offset` is a traced scalar so a shard_map body can render its own pixel
-    shard (count = pixels per device, offset = shard base).
+    shard (count = pixels per device, offset = shard base; `stride` = mesh
+    size for the interleaved sharding that balances hot strips across
+    devices — BASELINE.md round-4 shard-balance study).
     """
     if count is None:
         count = cfg.num_pixels
-    out = _forward_tiles(scene, cfg, interpret, offset, count)
+    out = _forward_tiles(scene, cfg, interpret, offset, count, stride)
     return unpack_pixel_tiles(out, count)
 
 

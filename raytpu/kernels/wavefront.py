@@ -715,11 +715,12 @@ _unstripe.defvjp(_unstripe_fwd, _unstripe_bwd)
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "chunk_rays", "capacity_factor", "eager_sort", "interpret",
-    "count", "ad", "streams"))
+    "count", "ad", "streams", "shard_stride"))
 def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                            capacity_factor: int, eager_sort: bool,
                            interpret: bool, offset=0, count=None,
-                           ad: bool = False, streams: int = 1):
+                           ad: bool = False, streams: int = 1,
+                           shard_stride: int = 1):
     n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
@@ -775,7 +776,15 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
         sample = jnp.arange(chunk, dtype=jnp.int32) % spp
         si = sample // cfg.alias_factor
         sj = sample % cfg.alias_factor
-        dx, dy, dz = _camera_dirs(cfg, offset + gpid, si, sj)
+        # shard_stride > 1: this call owns the INTERLEAVED frame pixels
+        # {offset + j*shard_stride} (offset = shard id, stride = mesh
+        # size) — the sharding that balances hot strips across devices
+        # (BASELINE.md round-4 shard-balance study).  The frame clamp
+        # re-renders the last pixel on pad lanes so out-of-frame ids
+        # cannot stay live and eat capacity.
+        gp = jnp.minimum(offset + gpid * shard_stride,
+                         cfg.num_pixels - 1)
+        dx, dy, dz = _camera_dirs(cfg, gp, si, sj)
         zero = jnp.zeros_like(dx)
         one = jnp.where(in_range, f32(1.0), f32(0.0))
         # Camera rays start in the background medium: index -1.
@@ -880,9 +889,12 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
                             interpret: bool = False,
                             return_info: bool = False,
                             offset=0, count=None, ad: bool = False,
-                            streams: int = 1):
-    """Wavefront render of pixels [offset, offset+count) -> (count, 3)
-    linear colour (the full frame by default).
+                            streams: int = 1, shard_stride: int = 1):
+    """Wavefront render of the `count` frame pixels
+    {offset + j*shard_stride : j < count} -> (count, 3) linear colour
+    (the full frame by default; `shard_stride` = mesh size + offset =
+    shard id is the interleaved per-device form that balances hot strips
+    across devices — BASELINE.md round-4 shard-balance study).
 
     With `ad`, the render is differentiable w.r.t. every scene leaf: each
     level call becomes a custom-VJP pair (forward kernel + per-level
@@ -920,7 +932,7 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     img, dropped = _render_wavefront_impl(
         scene, cfg, chunk_rays=chunk_rays, capacity_factor=capacity_factor,
         eager_sort=eager_sort, interpret=interpret, offset=offset,
-        count=count, ad=ad, streams=streams)
+        count=count, ad=ad, streams=streams, shard_stride=shard_stride)
     if return_info:
         # `dropped` stays a device scalar so return_info works under
         # jit/shard_map (int() would force concretization there).

@@ -124,11 +124,16 @@ def render_single(scene, cfg: RenderConfig, backend: str = "auto",
 
 @functools.lru_cache(maxsize=32)
 def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str,
-                       interpret: bool, wf_opts: tuple = ()):
-    """Compile one sharded render: pixel ids block-sharded over the mesh's
+                       interpret: bool, wf_opts: tuple = (),
+                       stride: int = 1):
+    """Compile one sharded render: pixel ids sharded over the mesh's
     pixel axis, scene replicated, zero collectives (pixels independent).
 
-    `interpret` (pallas sanitizer mode off-TPU) is part of the cache key so a
+    `stride` 1 = contiguous pixel blocks per device; `stride` = mesh size
+    gives each device the INTERLEAVED set {shard + j*stride} — hot strips
+    (up to 2x live-ray load under block sharding, BASELINE.md round-4
+    shard-balance study) then average out across devices.  `interpret`
+    (pallas sanitizer mode off-TPU) is part of the cache key so a
     platform switch after the first call cannot reuse a stale closure;
     `wf_opts` is the wavefront tuning dict as a sorted item tuple (hashable
     for the same reason)."""
@@ -142,12 +147,13 @@ def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str,
         if backend == "pallas":
             from raytpu.kernels import render_pixels_pallas
             return render_pixels_pallas(scene, cfg, interpret=interpret,
-                                        offset=gid[0],
+                                        offset=gid[0], stride=stride,
                                         count=gid.shape[0]), zero_drop
         if backend == "wavefront":
             from raytpu.kernels import render_pixels_wavefront
             pix, info = render_pixels_wavefront(
                 scene, cfg, interpret=interpret, offset=gid[0],
+                shard_stride=stride,
                 count=gid.shape[0], return_info=True, **dict(wf_opts))
             return pix, info["dropped"].reshape(1)
         return render_pixels(scene, cfg, gid), zero_drop
@@ -163,11 +169,16 @@ def _sharded_render_fn(cfg: RenderConfig, mesh, backend: str,
 
 def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto",
                    wf_opts: dict | None = None, return_info: bool = False,
-                   on_drop: str = "warn"):
+                   on_drop: str = "warn", interleave: bool = False):
     """Render the frame with the pixel grid sharded across all devices.
 
     Pads the pixel count up to a multiple of the mesh size by re-rendering
     the last pixel (discarded), so any image size works on any mesh.
+    `interleave` gives each device the strided pixel set {shard + j*mesh}
+    instead of a contiguous block: per-device live-ray load is then the
+    frame average instead of up-to-2x on hot strips (BASELINE.md round-4
+    shard-balance study) — bit-identical output (pixels are independent;
+    one reshape-transpose reassembles the frame).
     With `return_info`, returns (image, {'dropped': int}) — the summed
     per-shard wavefront drop counters; drops warn/raise per `on_drop`
     (see render_single).
@@ -179,10 +190,20 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto",
     n = int(mesh.devices.size)
     p = cfg.num_pixels
     per = -(-p // n)
-    gid = jnp.minimum(jnp.arange(per * n, dtype=jnp.int32), p - 1)
+    i = jnp.arange(per * n, dtype=jnp.int32)
+    if interleave and n > 1:
+        # Shard s's block holds pixels {s + k*n}: gid[s*per + k].
+        gid = jnp.minimum(i // per + (i % per) * n, p - 1)
+    else:
+        gid = jnp.minimum(i, p - 1)
     out, drops = _sharded_render_fn(cfg, mesh, backend, interpret,
-                                    tuple(sorted((wf_opts or {}).items())))(
+                                    tuple(sorted((wf_opts or {}).items())),
+                                    n if interleave and n > 1 else 1)(
         scene, gid)
+    if interleave and n > 1:
+        # Row s*per + k holds pixel s + k*n; the transpose puts row q at
+        # pixel q (pad duplicates land past p and are sliced off).
+        out = out.reshape(n, per, 3).transpose(1, 0, 2).reshape(-1, 3)
     img = out[:p].reshape(cfg.height, cfg.width, 3)
     if backend == "wavefront" or return_info:
         dropped = _report_drops(jnp.sum(drops), on_drop)
@@ -193,7 +214,8 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto",
 
 def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
                  iters: int = 3, backend: str = "auto",
-                 wf_opts: dict | None = None, on_drop: str = "warn"):
+                 wf_opts: dict | None = None, on_drop: str = "warn",
+                 interleave: bool = False):
     """Render and time it (compile excluded via warmup), returning
     (image, stats).  Mrays/s counts camera rays (pixels * alias^2), the
     same accounting as the reference's per-work-item model; `traced_rays`
@@ -203,7 +225,8 @@ def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
     `on_drop`)."""
     if mesh is not None:
         fn = lambda s: render_sharded(s, cfg, mesh, backend, wf_opts=wf_opts,
-                                      return_info=True, on_drop=on_drop)
+                                      return_info=True, on_drop=on_drop,
+                                      interleave=interleave)
     else:
         fn = lambda s: render_single(s, cfg, backend, wf_opts=wf_opts,
                                      return_info=True, on_drop=on_drop)

@@ -53,3 +53,40 @@ def test_render_timed_stats():
     assert img.shape == (8, 16, 3)
     assert stats["primary_rays"] == 16 * 8
     assert stats["mrays_per_s"] > 0
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas", "wavefront"])
+def test_interleaved_sharding_matches_block(backend):
+    # Interleaved sharding (each device owns the strided pixel set
+    # {shard + j*mesh} — the hot-strip load balancer, BASELINE.md round-4
+    # shard-balance study) must reassemble to exactly the single-device
+    # frame on every backend.  51 pixels over 8 devices also exercises
+    # the pad-duplicate slicing under the reshape-transpose reassembly.
+    scene = default_scene()
+    cfg = RenderConfig(width=17, height=3, max_depth=2, alias_factor=1)
+    mesh = make_mesh()
+    ours = np.asarray(render_sharded(scene, cfg, mesh, backend=backend,
+                                     interleave=True))
+    ref = np.asarray(render_image(scene, cfg))
+    tol = dict(rtol=1e-5, atol=1e-7) if backend != "jnp" else \
+        dict(rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(ours, ref, **tol)
+
+
+def test_interleaved_wavefront_multichunk():
+    # Wide frame so each shard's wavefront runs multiple chunks: the
+    # shard_stride camera mapping composes with the chunk striping and
+    # the slot-space accumulate.  Interleaving re-partitions rays across
+    # chunks, so per-pixel sums reassociate (the same noise class as the
+    # eager-sort contract, tests/test_wavefront.py) — compare against the
+    # block-sharded wavefront with a scale-relative bound.
+    scene = default_scene()
+    cfg = RenderConfig(width=128, height=16, max_depth=3, alias_factor=1)
+    mesh = make_mesh(jax.devices()[:4])
+    wf_opts = dict(chunk_rays=256, capacity_factor=2.0)
+    ours = np.asarray(render_sharded(scene, cfg, mesh, backend="wavefront",
+                                     interleave=True, wf_opts=wf_opts))
+    ref = np.asarray(render_sharded(scene, cfg, mesh, backend="wavefront",
+                                    interleave=False, wf_opts=wf_opts))
+    scale = max(ref.max(), 1e-30)
+    assert np.abs(ours - ref).max() < 1e-4 * scale

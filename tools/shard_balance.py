@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--spheres", type=int, default=256)
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--interleave", action="store_true",
+                    help="measure the strided pixel-sharding option "
+                         "(shard s owns pixels {s + k*shards}) instead "
+                         "of contiguous blocks")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +81,10 @@ def main():
         sample = ids % spp
         si = sample // cfg.alias_factor
         sj = sample % cfg.alias_factor
-        dx, dy, dz = wf._camera_dirs(cfg, offset + pid, si, sj)
+        gp = (offset + pid * args.shards if args.interleave
+              else offset + pid)
+        dx, dy, dz = wf._camera_dirs(cfg, jnp.minimum(gp, npix - 1),
+                                     si, sj)
         zero = jnp.zeros_like(dx)
         one = jnp.where(in_range, jnp.float32(1.0), jnp.float32(0.0))
         state = (zero, zero, zero, dx, dy, dz, one, one, one, zero - 1.0)
@@ -98,7 +105,8 @@ def main():
 
     per_shard = []
     for s in range(args.shards):
-        c = [int(x) for x in shard_live_counts(jnp.int32(s * shard_px))]
+        off = s if args.interleave else s * shard_px
+        c = [int(x) for x in shard_live_counts(jnp.int32(off))]
         per_shard.append(c)
         print(f"shard {s}: {c}", file=sys.stderr, flush=True)
 
