@@ -236,14 +236,15 @@ def main():
                               alias_factor=3)
             s5 = random_scene(256, seed=3)
 
-            # 256K chunks + capacity 1.25: the zero-drop frontier after
+            # 128K chunks + capacity 0.875: the zero-drop frontier after
             # round 4's strided pixel-major chunks (every chunk sees
-            # frame-average liveness; tools/wf_frontier.py, BASELINE.md
+            # frame-average liveness; 0.8125 drops 0.9M rays and 256K
+            # chunks drop at 0.875 — tools/wf_frontier.py, BASELINE.md
             # round-4 studies).  The dropped counter keeps the number
             # honest — any drop is reported alongside the time.
             def fn5():
                 img, info = render_pixels_wavefront(
-                    s5, c5, chunk_rays=1 << 18, capacity_factor=1.25,
+                    s5, c5, chunk_rays=1 << 17, capacity_factor=0.875,
                     return_info=True)
                 return float(jnp.sum(img)), int(info["dropped"])
 

@@ -110,24 +110,34 @@ def _loss_and_grad_pallas_packed(scene, cfg: RenderConfig, target_packed,
 
 
 def loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
-                            chunk_rays: int = 1 << 20):
+                            chunk_rays: int = 1 << 20,
+                            capacity_factor: float = 2.0):
     """Loss + gradients via the differentiable wavefront tracer — the
     large-scene/deep-depth training path (per-level custom-VJP kernels;
     no sphere-count cap from one-hot unrolls, dead subtrees skipped at
-    per-ray granularity).  Interpret-mode sanitizer off-TPU."""
+    per-ray granularity).  Interpret-mode sanitizer off-TPU.
+
+    `capacity_factor` is the same frame-time lever as in
+    render_pixels_wavefront — the AD scan carries the same level arrays
+    — but a factor that drops rays biases the GRADIENT too (dropped
+    subtrees contribute zero cotangent), so training keeps the safe 2.0
+    default; tune against the forward path's drop counter first."""
     interpret = jax.default_backend() != "tpu"
     return _loss_and_grad_wavefront(scene, cfg, target_flat, interpret,
-                                    chunk_rays)
+                                    chunk_rays, capacity_factor)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret",
-                                             "chunk_rays"))
+                                             "chunk_rays",
+                                             "capacity_factor"))
 def _loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
-                             interpret, chunk_rays):
+                             interpret, chunk_rays,
+                             capacity_factor=2.0):
     from raytpu.kernels.wavefront import render_pixels_wavefront
 
     def loss(s):
         img = render_pixels_wavefront(s, cfg, chunk_rays=chunk_rays,
+                                      capacity_factor=capacity_factor,
                                       interpret=interpret, ad=True)
         err = img - target_flat
         return jnp.mean(err * err)
