@@ -579,25 +579,6 @@ def _scatter_window(acc, em, start, npix: int):
     return tuple(outs)
 
 
-def _window_sum(acc, em, w0, ws: int, spp: int, npix: int):
-    """Level-0 emission accumulation under the PIXEL-MAJOR ray order
-    (ray i of a chunk maps to pixel w0 + i // spp): the per-pixel sum is a
-    plain (ws, spp) reshape + row sum, placed with one dynamic_update_slice
-    into a zero extension — no scatter at all, and trivially differentiable
-    (transpose = slice + broadcast).  Tail rays past the frame total carry
-    exactly-zero emissions and land in ext slots >= npix, which the [:npix]
-    slice drops — exact.  Replaces the sample-major `_scatter_window` (kept
-    below for the unsorted-fallback path's tests/tools)."""
-    outs = []
-    w0 = jnp.asarray(w0, jnp.int32)
-    for a, x in zip(acc, em):
-        s = x.reshape(ws, spp).sum(axis=1)
-        ext = jnp.zeros((npix + ws,), jnp.float32)
-        ext = jax.lax.dynamic_update_slice(ext, s, (w0,))
-        outs.append(a + ext[:npix])
-    return tuple(outs)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _segsum_scatter(acc, em, pid, npix: int, prefix: int):
     """acc[c][pid] += em[c] for PID-SORTED rays, via exact segmented
@@ -797,6 +778,16 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
         # accumulator.
         sid = slot
         sid_sorted = False
+        # Every ray of this chunk — at EVERY level — maps to one of the
+        # chunk's ws slots [w0, w0+ws), so all levels accumulate into a
+        # ws-sized WINDOW and the big slot accumulator is touched once
+        # per chunk (a window slice-add at the end).  Before this, each
+        # level's scatter flowed the full nslots arrays through the
+        # chunk's dataflow (3 channels x levels x 8 MB at config 5);
+        # the window keeps the per-level accumulate working set at
+        # 3 x ws floats.
+        w0 = start // spp
+        accw = None
         for level in range(cfg.max_depth + 1):
             spawn = level < cfg.max_depth
             if ad:
@@ -809,24 +800,27 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                     scene_tbl, lights_tbl, bg_tbl, state, n_spheres,
                     n_lights, spawn, interpret)
             if level == 0:
-                # Camera rays: slots are positional — reshape-sum + one
-                # window DUS, no scatter (exact; see _window_sum).
-                acc = _window_sum(acc, em, start // spp, ws, spp, nslots)
+                # Camera rays: window slots are positional — the window
+                # IS the (ws, spp) reshape-sum.  Out-of-range rays carry
+                # exactly-zero emissions.
+                accw = tuple(x.reshape(ws, spp).sum(axis=1) for x in em)
             elif sid_sorted:
                 # Post-compaction levels: slot-sorted, <= ws distinct
                 # live slots — segmented pre-reduction, then a static
                 # ws-length scatter (see _segsum_scatter; custom VJP
                 # keeps the AD path off XLA's sort-VJP and off the
                 # round-3 lax.switch whose differentiated branches blew
-                # the compiled program size).
-                acc = _segsum_scatter(acc, em, sid, nslots,
-                                      min(ws, sid.shape[0]))
+                # the compiled program size).  Dead rays' window-local
+                # ids stay huge (sid 0x3FFFFFFF) and clamp onto zero
+                # values — exact.
+                accw = _segsum_scatter(accw, em, sid - w0, ws,
+                                       min(ws, sid.shape[0]))
             else:
                 # Unsorted fallback (eager_sort off while children fit
                 # capacity): plain scatter, bit-identical to an unsorted
                 # wavefront.
-                acc = _scatter_emissions(acc, em, sid, nslots,
-                                         sorted_ids=False)
+                accw = _scatter_emissions(accw, em, sid - w0, ws,
+                                          sorted_ids=False)
             if not spawn:
                 break
             r = state[0].shape[0]
@@ -840,26 +834,27 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 state, sid, ndrop, _ = compact(children, sid2, keep)
                 sid_sorted = True
                 dropped = dropped + ndrop
+        # Fold the window into the slot accumulator: one ws-slice
+        # read-add-write (dynamic_update_slice is the free op class,
+        # tools/scatter_bench.py).  Tail streams past the frame clamp
+        # onto real slots but their windows are exact zeros.
+        acc = tuple(
+            jax.lax.dynamic_update_slice(
+                a, jax.lax.dynamic_slice(a, (w0,), (ws,)) + w, (w0,))
+            for a, w in zip(acc, accw))
         return acc, dropped
 
     def trace_chunk(carry, start_vec):
-        # `streams` independent chunk pipelines per scan step, each into
-        # its own zero accumulator, merged once at the end: with a shared
-        # acc the level chains would serialize through the scatter adds,
-        # whereas private accumulators leave the heavy kernel/sort chains
-        # dataflow-independent so XLA's scheduler can overlap one stream's
-        # DMA with another's compute (the slope benches showed the per-op
-        # costs assume exactly that overlap; a single dependent chain
-        # exposes the memory latency).
+        # `streams` chunk pipelines per scan step.  Each stream's heavy
+        # kernel/sort/window chain depends only on its start — the only
+        # cross-stream edge is the final ws-sized window fold into the
+        # shared accumulator, so XLA's scheduler can still overlap one
+        # stream's DMA with another's compute (the round-3 rationale for
+        # private accumulators; the window design keeps the independence
+        # without materializing nslots-sized privates).
         acc, dropped = carry
-        parts = []
         for s_i in range(streams):
-            acc_s = tuple(jnp.zeros((nslots,), jnp.float32)
-                          for _ in range(3))
-            acc_s, dropped = trace_stream(acc_s, dropped, start_vec[s_i])
-            parts.append(acc_s)
-        acc = tuple(a + sum(p[c] for p in parts)
-                    for c, a in enumerate(acc))
+            acc, dropped = trace_stream(acc, dropped, start_vec[s_i])
         return (acc, dropped), None
 
     acc0 = tuple(jnp.zeros((nslots,), jnp.float32) for _ in range(3))

@@ -73,8 +73,8 @@ def main():
     interpret = jax.default_backend() != "tpu"
 
     def one_chunk(stbl, ltbl, btbl, start):
-        # Match the SHIPPED path op-for-op (pixel-major ids, level-0
-        # reshape-sum, per-level segmented-reduction accumulate — the
+        # Match the SHIPPED path op-for-op (pixel-major ids, ws-sized
+        # window accumulator folded once into the slot accumulator — the
         # round-4 rerun of this tool first profiled a plain-scatter
         # variant by mistake and attributed 57% of the chunk to scatter
         # fusions the real frame did not run).
@@ -94,21 +94,27 @@ def main():
         one = jnp.where(in_range, wf.f32(1.0), wf.f32(0.0))
         state = (zero, zero, zero, dx, dy, dz, one, one, one,
                  zero + wf.f32(-1.0))
+        w0 = start // spp
+        accw = None
         for level in range(cfg.max_depth + 1):
             spawn = level < cfg.max_depth
             em, children = wf._wf_level_call(
                 stbl, ltbl, btbl, state, n, n_lights, spawn, interpret)
             if level == 0:
-                acc = wf._window_sum(acc, em, start // spp, ws, spp, npix)
+                accw = tuple(x.reshape(ws, spp).sum(axis=1) for x in em)
             else:
-                acc = wf._segsum_scatter(acc, em, pid, npix,
-                                         min(ws, pid.shape[0]))
+                accw = wf._segsum_scatter(accw, em, pid - w0, ws,
+                                          min(ws, pid.shape[0]))
             if not spawn:
                 break
             r = state[0].shape[0]
             pid2 = wf._dup_tilewise(pid, r // wf.WF_BLOCK)
             keep = min(2 * r, cap)
             state, pid, _, _ = wf._compact(children, pid2, keep)
+        acc = tuple(
+            jax.lax.dynamic_update_slice(
+                a, jax.lax.dynamic_slice(a, (w0,), (ws,)) + w, (w0,))
+            for a, w in zip(acc, accw))
         return sum(jnp.sum(a) for a in acc)
 
     f = jax.jit(one_chunk)
