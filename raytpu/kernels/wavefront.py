@@ -60,6 +60,7 @@ megakernel), it is the TPU-shaped replacement for per-ray early exit.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -97,7 +98,9 @@ from raytpu.kernels.trace_pallas import (
 # config does not regress at 64 — 25.7 ms, was 30 at 32 rows in round 2).
 # VMEM per step is 14 state + 28 child + ~3 emission blocks (~2 MB at 64
 # rows) plus the large-N gather tables.
-WF_BLOCK_ROWS = 64
+# RAYTPU_WF_BLOCK_ROWS overrides for A/B sweeps (tools/wf_frontier.py);
+# the default is the measured optimum.
+WF_BLOCK_ROWS = int(os.environ.get("RAYTPU_WF_BLOCK_ROWS", "64"))
 WF_BLOCK = WF_BLOCK_ROWS * LANES
 
 # Compressed SoA ray state: position(3) + direction(3) + intensity(3) +
@@ -579,8 +582,9 @@ def _scatter_window(acc, em, start, npix: int):
     return tuple(outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _segsum_scatter(acc, em, pid, npix: int, prefix: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
+                    max_run: int = 0):
     """acc[c][pid] += em[c] for PID-SORTED rays, via exact segmented
     pre-reduction: one level's rays cover at most `prefix` distinct pixels
     (pixel-major chunks: chunk // samples_per_pixel), so summing each
@@ -614,7 +618,13 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int):
     through the sort (XLA's sort-VJP lowers to ~0.6 GB/s per-field
     gathers, the round-3 _compact_ad lesson)."""
     r = pid.shape[0]
-    steps = max(1, (r - 1).bit_length())
+    # A run cannot be longer than max_run (callers pass spp * 2^level —
+    # one slot's rays at level L are descendants of its <= spp camera
+    # rays, so <= spp * 2^L even before drops), and the doubling scan
+    # only needs ceil(log2(max_run)) steps to cover it — 5-10 instead of
+    # log2(r) ~ 17 at the shipped chunk size.
+    bound = min(max_run, r) if max_run > 0 else r
+    steps = max(1, (bound - 1).bit_length())
     idx = jnp.arange(r, dtype=jnp.int32)
     e = list(em)
     for k in range(steps):
@@ -633,11 +643,12 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int):
                  for a, x in zip(acc, srt[1:]))
 
 
-def _segsum_scatter_fwd(acc, em, pid, npix: int, prefix: int):
-    return _segsum_scatter(acc, em, pid, npix, prefix), (pid,)
+def _segsum_scatter_fwd(acc, em, pid, npix: int, prefix: int,
+                        max_run: int = 0):
+    return _segsum_scatter(acc, em, pid, npix, prefix, max_run), (pid,)
 
 
-def _segsum_scatter_bwd(npix: int, prefix: int, res, d_acc):
+def _segsum_scatter_bwd(npix: int, prefix: int, max_run: int, res, d_acc):
     (pid,) = res
     safe = jnp.minimum(pid, jnp.int32(npix - 1))
     d_em = tuple(d[safe] for d in d_acc)
@@ -814,7 +825,8 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 # ids stay huge (sid 0x3FFFFFFF) and clamp onto zero
                 # values — exact.
                 accw = _segsum_scatter(accw, em, sid - w0, ws,
-                                       min(ws, sid.shape[0]))
+                                       min(ws, sid.shape[0]),
+                                       max_run=spp * 2 ** level)
             else:
                 # Unsorted fallback (eager_sort off while children fit
                 # capacity): plain scatter, bit-identical to an unsorted

@@ -104,7 +104,8 @@ def main():
                 accw = tuple(x.reshape(ws, spp).sum(axis=1) for x in em)
             else:
                 accw = wf._segsum_scatter(accw, em, pid - w0, ws,
-                                          min(ws, pid.shape[0]))
+                                          min(ws, pid.shape[0]),
+                                          max_run=spp * 2 ** level)
             if not spawn:
                 break
             r = state[0].shape[0]
