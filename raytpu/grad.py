@@ -147,7 +147,7 @@ def _loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
 
 @functools.lru_cache(maxsize=16)
 def _sharded_grad_fn(cfg: RenderConfig, mesh, backend: str = "jnp",
-                     interpret: bool = False):
+                     interpret: bool = False, interleave: bool = False):
     """Compile the distributed gradient.
 
     The forward render is shard_mapped (pixels block-sharded, scene
@@ -163,14 +163,16 @@ def _sharded_grad_fn(cfg: RenderConfig, mesh, backend: str = "jnp",
     "jnp" uses the XLA-autodiff tracer.  `interpret` runs the kernels in
     interpret mode (the off-TPU sanitizer path)."""
 
+    n = int(mesh.devices.size)
+    stride = n if interleave and n > 1 else 1
     if backend == "pallas":
         from raytpu.kernels.trace_pallas import render_pixels_pallas_ad
 
-        per = cfg.num_pixels // int(mesh.devices.size)
+        per = cfg.num_pixels // n
 
         def body(scene, gid):
             return render_pixels_pallas_ad(scene, cfg, interpret,
-                                           gid[0], per)
+                                           gid[0], per, stride)
 
         # check_vma=False: pallas_call outputs carry no varying-axis
         # metadata (same escape hatch as the sharded forward render).
@@ -180,11 +182,12 @@ def _sharded_grad_fn(cfg: RenderConfig, mesh, backend: str = "jnp",
     elif backend == "wavefront":
         from raytpu.kernels.wavefront import render_pixels_wavefront
 
-        per = cfg.num_pixels // int(mesh.devices.size)
+        per = cfg.num_pixels // n
 
         def body(scene, gid):
             return render_pixels_wavefront(scene, cfg, interpret=interpret,
-                                           offset=gid[0], count=per, ad=True)
+                                           offset=gid[0], count=per, ad=True,
+                                           shard_stride=stride)
 
         render = jax.shard_map(body, mesh=mesh,
                                in_specs=(P(), P(PIXEL_AXIS)),
@@ -195,6 +198,15 @@ def _sharded_grad_fn(cfg: RenderConfig, mesh, backend: str = "jnp",
             mesh=mesh, in_specs=(P(), P(PIXEL_AXIS)), out_specs=P(PIXEL_AXIS))
 
     def loss(scene, gid, target_flat):
+        if interleave and n > 1:
+            # The render comes back in shard-major order (shard s's block
+            # holds its strided pixels {s + j*n}); permute the TARGET to
+            # match — the mean is order-invariant, so the loss and the
+            # scene gradients are exactly the block-sharded ones.
+            per = cfg.num_pixels // n
+            target_flat = (target_flat.reshape(per, n, -1)
+                           .transpose(1, 0, 2)
+                           .reshape(cfg.num_pixels, -1))
         err = render(scene, gid) - target_flat
         return jnp.mean(err * err)
 
@@ -202,12 +214,16 @@ def _sharded_grad_fn(cfg: RenderConfig, mesh, backend: str = "jnp",
 
 
 def loss_and_grad_sharded(scene, cfg: RenderConfig, target_flat, mesh=None,
-                          backend: str = "auto"):
+                          backend: str = "auto", interleave: bool = False):
     """Distributed loss + gradient; scene replicated, pixels sharded.
 
     The pixel count must divide by the mesh size (pad the target upstream
     if needed).  backend="auto" picks the fused Pallas kernels on TPU when
     the sphere count fits their unroll cap, the jnp autodiff path otherwise.
+    `interleave` gives each device the strided pixel set {shard + j*mesh}
+    instead of a contiguous block (the same hot-strip load balancer as
+    render_sharded; the loss permutes the target to match, so loss and
+    gradients equal the block-sharded ones up to FP reassociation).
     """
     import jax as _jax
 
@@ -230,14 +246,20 @@ def loss_and_grad_sharded(scene, cfg: RenderConfig, target_flat, mesh=None,
                          "BWD_MAX_SPHERES; use backend='wavefront'")
     interpret = (backend in ("pallas", "wavefront")
                  and _jax.default_backend() != "tpu")
-    gid = jnp.arange(p, dtype=jnp.int32)
-    return _sharded_grad_fn(cfg, mesh, backend, interpret)(
+    if interleave and n > 1:
+        per = p // n
+        i = jnp.arange(p, dtype=jnp.int32)
+        gid = i // per + (i % per) * n      # shard s's block: {s + j*n}
+    else:
+        gid = jnp.arange(p, dtype=jnp.int32)
+    return _sharded_grad_fn(cfg, mesh, backend, interpret, interleave)(
         scene, gid, target_flat)
 
 
 def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
               learning_rate: float = 1e-2, mesh=None, optimizer=None,
-              callback=None, trainable=None, backend: str = "auto"):
+              callback=None, trainable=None, backend: str = "auto",
+              interleave: bool = False):
     """Gradient-fit task (BASELINE config 4): optimise scene parameters to
     match a target image.  Returns (scene, losses).
 
@@ -249,7 +271,8 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
     wavefront tracer beyond it) — with or without a mesh; the jnp autodiff
     path otherwise.  "wavefront" forces the wavefront training path (large
     scenes / deep trees).  With a mesh, the chosen kernels run inside the
-    shard_map body and the scene cotangents are psum'd.
+    shard_map body and the scene cotangents are psum'd; `interleave`
+    balances hot-strip load across the mesh (see loss_and_grad_sharded).
     """
     import optax
 
@@ -280,7 +303,8 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
     for step in range(steps):
         if mesh is not None:
             loss, grads = loss_and_grad_sharded(scene, cfg, target_flat, mesh,
-                                                backend=backend)
+                                                backend=backend,
+                                                interleave=interleave)
         elif use_pallas:
             loss, grads = loss_and_grad_pallas_packed(scene, cfg,
                                                       target_packed)

@@ -1139,7 +1139,7 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
 
 
 def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
-                     total_pixels: int):
+                     total_pixels: int, stride: int = 1):
     alias = cfg.alias_factor
 
     def kernel(scene_ref, scene_vmem_ref, lights_ref, bg_ref, offset_ref,
@@ -1156,7 +1156,9 @@ def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
-        gid = offset_ref[0, 0] + tile * TILE_PIXELS + rows * LANES + lanes
+        # stride > 1: interleaved pixel set (see the forward kernel).
+        gid = offset_ref[0, 0] + (tile * TILE_PIXELS + rows * LANES
+                                  + lanes) * stride
         gid = jnp.minimum(gid, total_pixels - 1)
         dx, dy, dz = _camera_dirs(cfg, gid, si, sj)
 
@@ -1211,9 +1213,11 @@ def _scene_tables(scene):
     return scene_tbl, lights_tbl, bg_tbl
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "count"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "count",
+                                             "stride"))
 def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
-                        offset=0, count: int | None = None):
+                        offset=0, count: int | None = None,
+                        stride: int = 1):
     """Scene-parameter gradients for sum(render_pixels * g): one fused
     backward kernel over the (tile, sample) grid.
 
@@ -1226,13 +1230,14 @@ def _grad_pixels_pallas(scene, cfg: RenderConfig, g, interpret: bool = False,
         count = cfg.num_pixels
     g_tbl = pack_pixel_tiles(g, count)            # zero cotangent on tail
     return _grad_pixels_pallas_tbl(scene, cfg, g_tbl, interpret, offset,
-                                   count)
+                                   count, stride)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "count"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "count",
+                                             "stride"))
 def _grad_pixels_pallas_tbl(scene, cfg: RenderConfig, g_tbl,
                             interpret: bool = False, offset=0,
-                            count: int | None = None):
+                            count: int | None = None, stride: int = 1):
     """Backward-kernel core taking the cotangent already in the kernel's
     native tiled layout: g_tbl (3, tiles*TILE_ROWS, LANES), tail-pad lanes
     zero.  The (count, 3) API above is a pad+transpose wrapper; the
@@ -1256,7 +1261,7 @@ def _grad_pixels_pallas_tbl(scene, cfg: RenderConfig, g_tbl,
         count = p
     tiles = -(-count // TILE_PIXELS)
 
-    kernel = _make_bwd_kernel(cfg, n_spheres, n_lights, p)
+    kernel = _make_bwd_kernel(cfg, n_spheres, n_lights, p, stride)
     gs, gl, gb = pl.pallas_call(
         kernel,
         grid=(tiles, cfg.samples_per_pixel),
@@ -1301,9 +1306,10 @@ def _grad_pixels_pallas_tbl(scene, cfg: RenderConfig, g_tbl,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4, 5))
 def render_pixels_pallas_ad(scene, cfg: RenderConfig, interpret: bool = False,
-                            offset=0, count: int | None = None):
+                            offset=0, count: int | None = None,
+                            stride: int = 1):
     """Differentiable fused render: forward = the Pallas forward kernel,
     backward = the fused gradient kernel (scene cotangents only).
 
@@ -1315,19 +1321,19 @@ def render_pixels_pallas_ad(scene, cfg: RenderConfig, interpret: bool = False,
     one-hot-gather VMEM budget (BWD_MAX_SPHERES); callers with larger scenes
     should use the jnp tracer's autodiff."""
     return render_pixels_pallas(scene, cfg, interpret=interpret,
-                                offset=offset, count=count)
+                                offset=offset, count=count, stride=stride)
 
 
-def _ad_fwd(scene, cfg, interpret, offset, count):
+def _ad_fwd(scene, cfg, interpret, offset, count, stride):
     out = render_pixels_pallas(scene, cfg, interpret=interpret,
-                               offset=offset, count=count)
+                               offset=offset, count=count, stride=stride)
     return out, (scene, offset)
 
 
-def _ad_bwd(cfg, interpret, count, res, g):
+def _ad_bwd(cfg, interpret, count, stride, res, g):
     scene, offset = res
     gscene = _grad_pixels_pallas(scene, cfg, g, interpret=interpret,
-                                 offset=offset, count=count)
+                                 offset=offset, count=count, stride=stride)
     # offset is integer-typed: its cotangent is the symbolic float0 zero.
     g_offset = np.zeros(np.shape(offset), jax.dtypes.float0)
     return (gscene, g_offset)

@@ -265,3 +265,24 @@ def test_wavefront_grads_vs_finite_differences():
         assert abs(analytic - numeric) <= 0.08 * abs(numeric) + 1e-12
         checked += 1
     assert checked >= 4, f"only {checked} probes carried signal"
+
+
+def test_interleaved_sharded_grad_matches_block():
+    # Interleaved training sharding (each device owns {shard + j*mesh};
+    # the loss permutes the target to match) must reproduce the
+    # block-sharded loss and scene gradients on both the jnp and pallas
+    # backends — the mean and the psum'd cotangents are order-invariant.
+    cfg = RenderConfig(width=32, height=8, max_depth=2, alias_factor=1)
+    scene = default_scene()
+    target = _target(scene, cfg) * 1.1
+    mesh = make_mesh(jax.devices()[:4])
+    for backend in ("jnp", "pallas"):
+        l1, g1 = loss_and_grad_sharded(scene, cfg, target, mesh,
+                                       backend=backend)
+        l2, g2 = loss_and_grad_sharded(scene, cfg, target, mesh,
+                                       backend=backend, interleave=True)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-8)
