@@ -311,3 +311,53 @@ def test_scatter_emissions_prefix_switch_exact():
         want = _scatter_emissions(acc0, em, pid, npix, sorted_ids=True)
         for g, w in zip(got, want):
             assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_segsum_scatter_matches_plain_scatter():
+    """_segsum_scatter (segmented pre-reduction + short scatter) must equal
+    a plain scatter-add for sorted ids with bounded run lengths, including
+    a dead tail (id 0x3FFFFFFF, zero values) and fewer live runs than the
+    static prefix.  Also pins the backward: d_em[i] = d_acc[pid[i]]."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.kernels.wavefront import _segsum_scatter
+
+    rng = np.random.default_rng(7)
+    r, npix, max_run = 1024, 64, 8
+    # Sorted ids with random run lengths in [1, max_run], dead tail.
+    ids = []
+    p = 0
+    while len(ids) < r - 100 and p < npix:
+        ids.extend([p] * int(rng.integers(1, max_run + 1)))
+        p += int(rng.integers(1, 3))
+    ids = ids[: r - 100] + [0x3FFFFFFF] * (r - len(ids[: r - 100]))
+    pid = jnp.asarray(np.asarray(ids, np.int32))
+    em = tuple(
+        jnp.asarray(np.where(np.asarray(ids) < npix,
+                             rng.normal(size=r), 0.0).astype(np.float32))
+        for _ in range(3))
+    acc = tuple(jnp.asarray(rng.normal(size=npix).astype(np.float32))
+                for _ in range(3))
+
+    got = _segsum_scatter(acc, em, pid, npix, min(npix, r),
+                          max_run)
+    safe = jnp.minimum(pid, npix - 1)
+    want = tuple(a.at[safe].add(jnp.where(pid < npix, x, 0.0))
+                 for a, x in zip(acc, em))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+    # Backward: linear map, transpose is a gather.
+    def f(em_):
+        out = _segsum_scatter(acc, em_, pid, npix, min(npix, r), max_run)
+        return sum(jnp.sum(o * (i + 1.0)) for i, o in enumerate(out))
+
+    g_em = jax.grad(f)(em)
+    for c, g in enumerate(g_em):
+        want_g = np.where(np.asarray(ids) < npix, c + 1.0, 0.0)
+        # Dead ids clamp to npix-1: their cotangent reads channel weight
+        # too — matched by the custom bwd's clamp (their primal em is 0).
+        want_g = np.where(np.asarray(ids) >= npix, c + 1.0, want_g)
+        np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-6)

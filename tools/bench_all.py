@@ -67,11 +67,22 @@ def main():
         if scene.spheres.pos.shape[0] >= 128 and cfg.max_depth >= 4:
             try:
                 from raytpu.kernels.wavefront import render_image_wavefront
-                dt = bench(lambda: float(
-                    jnp.sum(render_image_wavefront(scene, cfg))))
+
+                # The round-4 zero-drop frontier for this scene class
+                # (tools/wf_frontier.py; same setting bench.py ships) —
+                # drops are counted and reported, keeping it honest.
+                def _wf():
+                    img, info = render_image_wavefront(
+                        scene, cfg, chunk_rays=1 << 17,
+                        capacity_factor=0.875, return_info=True)
+                    return float(jnp.sum(img)), int(info["dropped"])
+
+                drops = _wf()[1]
+                dt = bench(lambda: _wf()[0])
                 row["fwd_wavefront_ms"] = round(dt * 1e3, 2)
                 row["fwd_wavefront_mrays_s"] = round(
                     cfg.rays_per_frame / dt / 1e6, 1)
+                row["wavefront_dropped"] = drops
             except Exception as e:
                 row["wavefront_error"] = f"{type(e).__name__}: {str(e)[:120]}"
         # Training step: the wavefront AD path where the auto heuristic
@@ -85,7 +96,9 @@ def main():
             try:
                 target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
                 dt = bench(lambda: float(
-                    loss_and_grad_wavefront(scene, cfg, target)[0]), n=1)
+                    loss_and_grad_wavefront(
+                        scene, cfg, target, chunk_rays=1 << 17,
+                        capacity_factor=0.875)[0]), n=1)
                 row["fwd_bwd_wavefront_ms"] = round(dt * 1e3, 2)
                 row["fwd_bwd_wavefront_mrays_s"] = round(
                     cfg.rays_per_frame / dt / 1e6, 1)

@@ -8,6 +8,7 @@ BASELINE.md depth-6 post-mortem).  Run one by name:
     python tools/mosaic_repros.py dynamic_slice_values
     python tools/mosaic_repros.py cond_vector_select
     python tools/mosaic_repros.py sublane_flatten
+    python tools/mosaic_repros.py lane_dynamic_gather
 
 Observed on jax 0.8.x / libtpu v5e (remote-compile path).  Status of each:
 
@@ -143,12 +144,60 @@ def sublane_flatten():
     print("lane flatten lowered fine")
 
 
+def lane_dynamic_gather():
+    """Per-lane dynamic VMEM addressing: the primitive a ONE-PASS stable
+    compaction needs (pack live lanes to the block front at computed
+    ranks) and the reason the wavefront keeps the 11-operand lax.sort
+    between bounce levels (ROADMAP.md #2).  Both directions of the
+    permutation are tried on a VALUE inside the kernel:
+
+      * gather  out[i] = x[idx[i]]  (jnp.take along the packed axis)
+      * scatter via a dimension-numbers scatter on the value
+
+    Arbitrary in-register permutation with vector indices has no Mosaic
+    lowering (the working alternatives are the sort network, one-hot
+    matmuls — O(n^2) per block — or whole-ref pl.ds row slices at SCALAR
+    indices, which is what the backward kernel's table gathers use)."""
+
+    def kernel_gather(x_ref, i_ref, o_ref):
+        x = x_ref[:]
+        idx = i_ref[:]
+        o_ref[:] = jnp.take_along_axis(x, idx, axis=1)
+
+    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    idx = jnp.flip(jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1), 1)
+    try:
+        out = _run(kernel_gather,
+                   jax.ShapeDtypeStruct((8, 128), jnp.float32), x, idx)
+        print("lane-dynamic gather lowered:", np.asarray(out)[0, 0])
+    except Exception as e:
+        print("lane-dynamic gather FAILED to lower:\n", str(e)[:400])
+
+    def kernel_scatter(x_ref, i_ref, o_ref):
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(), inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0,))
+        flat = x_ref[:].reshape(1, 8 * 128)[0]
+        ids = i_ref[:].reshape(1, 8 * 128)[0][:, None]
+        o_ref[:] = jax.lax.scatter(
+            jnp.zeros((8 * 128,), jnp.float32), ids, flat, dn
+        ).reshape(8, 128)
+
+    try:
+        out = _run(kernel_scatter,
+                   jax.ShapeDtypeStruct((8, 128), jnp.float32), x, idx)
+        print("lane-dynamic scatter lowered:", np.asarray(out)[0, 0])
+    except Exception as e:
+        print("lane-dynamic scatter FAILED to lower:\n", str(e)[:400])
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else ""
     repros = dict(transpose_hang=transpose_hang,
                   dynamic_slice_values=dynamic_slice_values,
                   cond_vector_select=cond_vector_select,
-                  sublane_flatten=sublane_flatten)
+                  sublane_flatten=sublane_flatten,
+                  lane_dynamic_gather=lane_dynamic_gather)
     if name not in repros:
         print(__doc__)
         sys.exit(1)
