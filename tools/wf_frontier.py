@@ -29,6 +29,10 @@ def main():
                              "262144:1.5"])
     ap.add_argument("--ad", action="store_true",
                     help="probe the AD (train-step) path instead")
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--num-lights", type=int, default=None,
+                    help="override the scene's light count (bench_all's "
+                         "config-5 scene uses 4 with the default seed)")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +44,8 @@ def main():
 
     cfg = RenderConfig(width=1920, height=1080, max_depth=6,
                        alias_factor=3)
-    scene = random_scene(256, seed=3)
+    kw = {} if args.num_lights is None else dict(num_lights=args.num_lights)
+    scene = random_scene(256, seed=args.seed, **kw)
     results = []
     for pt in args.points:
         ch_s, cap_s = pt.split(":")
