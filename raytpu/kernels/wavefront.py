@@ -99,8 +99,19 @@ from raytpu.kernels.trace_pallas import (
 # VMEM per step is 14 state + 28 child + ~3 emission blocks (~2 MB at 64
 # rows) plus the large-N gather tables.
 # RAYTPU_WF_BLOCK_ROWS overrides for A/B sweeps (tools/wf_frontier.py);
-# the default is the measured optimum.
+# the default is the measured optimum.  An active override changes kernel
+# geometry, capacity alignment, and golden/bench reproducibility for the
+# whole process, so it warns loudly — a stray env var must not silently
+# skew a benchmark or golden run (ADVICE r4).
 WF_BLOCK_ROWS = int(os.environ.get("RAYTPU_WF_BLOCK_ROWS", "64"))
+if "RAYTPU_WF_BLOCK_ROWS" in os.environ:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"RAYTPU_WF_BLOCK_ROWS={WF_BLOCK_ROWS} overrides the wavefront "
+        f"block geometry (default 64 rows) for this whole process — "
+        f"bench/golden numbers will not be reproducible at defaults",
+        RuntimeWarning)
 WF_BLOCK = WF_BLOCK_ROWS * LANES
 
 # Compressed SoA ray state: position(3) + direction(3) + intensity(3) +
@@ -112,6 +123,22 @@ WF_BLOCK = WF_BLOCK_ROWS * LANES
 N_STATE = 10
 
 _DEAD_BIT = np.int32(1 << 30)
+
+# RAYTPU_WF_DEBUG=1 (or flipping this flag before tracing) arms runtime
+# precondition checks on the wavefront glue — currently the
+# _segsum_scatter max-run bound, whose violation is otherwise SILENT
+# emission loss (ADVICE r4).  Checked at trace time, enforced at run time
+# via jax.debug.callback; costs one extra scan over the ids, so it is a
+# sanitizer mode, not a production default.
+WF_DEBUG = bool(int(os.environ.get("RAYTPU_WF_DEBUG", "0")))
+
+
+def _check_max_run(observed, bound):
+    if int(observed) > int(bound):
+        raise ValueError(
+            f"_segsum_scatter precondition violated: observed live run "
+            f"length {int(observed)} exceeds max_run={int(bound)} — run "
+            f"totals would be silently under-reduced (emission lost)")
 
 
 def _align_up(n: int, m: int) -> int:
@@ -616,7 +643,20 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
     d_acc[pid[i]] — one gather, the SAME op XLA's scatter-add transpose
     emits — declared via custom_vjp so autodiff never differentiates
     through the sort (XLA's sort-VJP lowers to ~0.6 GB/s per-field
-    gathers, the round-3 _compact_ad lesson)."""
+    gathers, the round-3 _compact_ad lesson).
+
+    HARD PRECONDITIONS (callers MUST guarantee; violations are silent):
+      * pid is sorted ascending with the dead tail at 0x3FFFFFFF, and no
+        live run is longer than `max_run` — longer runs are silently
+        under-reduced (emission mass lost).  The wavefront's pixel-major
+        descent guarantees spp * 2^level; interpret mode asserts it.
+      * dead-tail rays (pid >= npix) must carry emissions that are
+        IDENTICALLY-ZERO FUNCTIONS of the scene (not merely zero values):
+        the backward's npix-1 clamp hands them d_acc[npix-1] as
+        cotangent, which is only correct because their primal emission
+        is zero with zero derivative (the wavefront's compaction-
+        exactness lemma).  A caller without that invariant gets silently
+        wrong gradients for the tail rays."""
     r = pid.shape[0]
     # A run cannot be longer than max_run (callers pass spp * 2^level —
     # one slot's rays at level L are descendants of its <= spp camera
@@ -626,6 +666,16 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
     bound = min(max_run, r) if max_run > 0 else r
     steps = max(1, (bound - 1).bit_length())
     idx = jnp.arange(r, dtype=jnp.int32)
+    if WF_DEBUG and bound < r:
+        # Sanitizer (see WF_DEBUG): measure the true max LIVE run length
+        # and fail loudly if it exceeds the scan bound.  run-start marker
+        # -> running last-start via cummax -> per-element run length.
+        is_start = (idx == 0) | (pid != jnp.roll(pid, 1))
+        last_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+        live = pid < (jnp.int32(1) << 29)     # dead tail excluded
+        runlen = jnp.where(live, idx - last_start + 1, 0)
+        jax.debug.callback(_check_max_run, jnp.max(runlen),
+                           jnp.int32(bound))
     e = list(em)
     for k in range(steps):
         sh = 1 << k

@@ -63,6 +63,40 @@ def resolve_backend(backend: str = "auto", scene=None,
     return backend
 
 
+# Auto-capacity ladder for the wavefront backend (VERDICT r4 next-step 2):
+# start at the measured config-5 zero-drop frontier (128K-ray chunks x
+# capacity 0.875 -> 2.94 s, BASELINE.md round-4 studies) and escalate on
+# any drop — rendering is stateless, so the retry is exact.  The frontier
+# is scene-dependent (seed-0 needs 1.125 where seed-3 runs 0.875), which
+# is why the aggressive default is safe ONLY with the drop-triggered
+# retry; 4.0 is the "any scene" backstop (2.0, the old safe default,
+# has never dropped on a measured scene).  An explicit capacity_factor in
+# wf_opts disables the ladder (single attempt, user owns the tradeoff).
+WF_AUTO_CHUNK = 1 << 17
+WF_AUTO_LADDER = (0.875, 1.25, 2.0, 4.0)
+
+
+def _wf_auto_trials(wf_opts: dict | None):
+    """Resolve wavefront tuning to a list of option dicts to try in order.
+
+    No explicit capacity_factor -> the auto ladder (tuned-frontier first,
+    escalating on drops); explicit capacity_factor -> exactly that, one
+    attempt."""
+    o = dict(wf_opts or {})
+    if "capacity_factor" in o:
+        return [o]
+    o.setdefault("chunk_rays", WF_AUTO_CHUNK)
+    return [dict(o, capacity_factor=c) for c in WF_AUTO_LADDER]
+
+
+def _warn_escalate(n: int, tried: dict, nxt: dict):
+    warnings.warn(
+        f"wavefront auto-capacity: {n} live rays dropped at "
+        f"capacity_factor={tried['capacity_factor']}; retrying at "
+        f"{nxt['capacity_factor']} (the zero-drop frontier is "
+        f"scene-dependent — see BASELINE.md)", RuntimeWarning, stacklevel=3)
+
+
 class DroppedRaysError(RuntimeError):
     """Live rays exceeded the wavefront's per-level capacity and were
     dropped — the image is missing their contribution.  Raise the
@@ -97,9 +131,12 @@ def render_single(scene, cfg: RenderConfig, backend: str = "auto",
 
     `wf_opts`: wavefront-backend tuning knobs passed straight to
     render_pixels_wavefront (chunk_rays / capacity_factor / streams /
-    eager_sort); ignored by the other backends.  Wavefront renders that
-    drop live rays (capacity overflow) warn by default — `on_drop` in
-    {"warn", "raise", "ignore"}."""
+    eager_sort); ignored by the other backends.  Without an explicit
+    capacity_factor the wavefront runs the AUTO ladder: tuned-frontier
+    capacity first, and on any drop the frame is re-rendered at the next
+    escalation (stateless, so the retry is exact — WF_AUTO_LADDER).
+    Wavefront renders that still drop live rays after the ladder warn by
+    default — `on_drop` in {"warn", "raise", "ignore"}."""
     backend = resolve_backend(backend, scene, cfg)
     # Off-TPU an explicitly requested kernel backend runs the Pallas
     # interpreter (the sanitizer mode) rather than failing to lower.
@@ -112,10 +149,16 @@ def render_single(scene, cfg: RenderConfig, backend: str = "auto",
     elif backend == "wavefront":
         from raytpu.kernels import render_image_wavefront
 
-        img, info = render_image_wavefront(scene, cfg, interpret=interpret,
-                                           return_info=True,
-                                           **(wf_opts or {}))
-        info = dict(info, dropped=_report_drops(info["dropped"], on_drop))
+        trials = _wf_auto_trials(wf_opts)
+        for i, o in enumerate(trials):
+            img, info = render_image_wavefront(scene, cfg,
+                                               interpret=interpret,
+                                               return_info=True, **o)
+            n = int(info["dropped"])
+            if n == 0 or i + 1 == len(trials):
+                break
+            _warn_escalate(n, o, trials[i + 1])
+        info = dict(info, dropped=_report_drops(n, on_drop))
     else:
         img = render_image(scene, cfg)
         info = dict(dropped=0)
@@ -180,8 +223,10 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto",
     shard-balance study) — bit-identical output (pixels are independent;
     one reshape-transpose reassembles the frame).
     With `return_info`, returns (image, {'dropped': int}) — the summed
-    per-shard wavefront drop counters; drops warn/raise per `on_drop`
-    (see render_single).
+    per-shard wavefront drop counters.  Without an explicit
+    capacity_factor the wavefront backend runs the auto-capacity ladder
+    (escalate + re-render on drops, see render_single); residual drops
+    warn/raise per `on_drop`.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -196,19 +241,24 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto",
         gid = jnp.minimum(i // per + (i % per) * n, p - 1)
     else:
         gid = jnp.minimum(i, p - 1)
-    out, drops = _sharded_render_fn(cfg, mesh, backend, interpret,
-                                    tuple(sorted((wf_opts or {}).items())),
-                                    n if interleave and n > 1 else 1)(
-        scene, gid)
+    stride = n if interleave and n > 1 else 1
+    trials = (_wf_auto_trials(wf_opts) if backend == "wavefront"
+              else [dict(wf_opts or {})])
+    for t, o in enumerate(trials):
+        out, drops = _sharded_render_fn(cfg, mesh, backend, interpret,
+                                        tuple(sorted(o.items())), stride)(
+            scene, gid)
+        nd = int(jnp.sum(drops)) if backend == "wavefront" else 0
+        if nd == 0 or t + 1 == len(trials):
+            break
+        _warn_escalate(nd, o, trials[t + 1])
     if interleave and n > 1:
         # Row s*per + k holds pixel s + k*n; the transpose puts row q at
         # pixel q (pad duplicates land past p and are sliced off).
         out = out.reshape(n, per, 3).transpose(1, 0, 2).reshape(-1, 3)
     img = out[:p].reshape(cfg.height, cfg.width, 3)
-    if backend == "wavefront" or return_info:
-        dropped = _report_drops(jnp.sum(drops), on_drop)
-    else:
-        dropped = 0
+    dropped = _report_drops(nd, on_drop) if (backend == "wavefront"
+                                             or return_info) else 0
     return (img, dict(dropped=dropped)) if return_info else img
 
 

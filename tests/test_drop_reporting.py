@@ -73,6 +73,91 @@ def test_cli_time_json_has_dropped(capsys):
     assert stats["dropped"] == 0
 
 
+def test_loss_and_grad_wavefront_raises_on_drops():
+    # The AD path (round-5 guard): dropped rays bias the GRADIENT with no
+    # visible symptom in the loss, so training defaults to fail-fast.
+    import jax.numpy as jnp
+
+    from raytpu.grad import loss_and_grad_wavefront
+
+    cfg = RenderConfig(width=128, height=64, max_depth=2, alias_factor=1)
+    scene = _overflow_scene()
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    with pytest.raises(DroppedRaysError):
+        loss_and_grad_wavefront(scene, cfg, target, **_OVERFLOW_WF)
+    # return_info + on_drop="ignore" surfaces the count instead.
+    loss, grads, info = loss_and_grad_wavefront(
+        scene, cfg, target, on_drop="ignore", return_info=True,
+        **_OVERFLOW_WF)
+    assert info["dropped"] > 0
+    assert np.isfinite(float(loss))
+
+
+def test_loss_and_grad_sharded_wavefront_raises_on_drops():
+    # Per-shard drop counters ride out of the shard_map, are summed, and
+    # enforced — the distributed-training half of the same guard.
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.grad import loss_and_grad_sharded
+    from raytpu.parallel.mesh import make_mesh
+
+    # 256x64 over 2 shards: each shard's window is the 8192 rays that
+    # overflow capacity 1.0 (capacity aligns up to one whole WF_BLOCK, so
+    # a smaller per-shard window could never drop).
+    cfg = RenderConfig(width=256, height=64, max_depth=2, alias_factor=1)
+    scene = _overflow_scene()
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    mesh = make_mesh(jax.devices()[:2])
+    with pytest.raises(DroppedRaysError):
+        loss_and_grad_sharded(scene, cfg, target, mesh,
+                              backend="wavefront", wf_opts=_OVERFLOW_WF)
+    loss, grads, info = loss_and_grad_sharded(
+        scene, cfg, target, mesh, backend="wavefront",
+        wf_opts=_OVERFLOW_WF, on_drop="ignore", return_info=True)
+    assert info["dropped"] > 0
+    assert np.isfinite(float(loss))
+
+
+def test_render_single_auto_ladder_ends_drop_free():
+    # No explicit capacity_factor -> the auto ladder: the tuned-frontier
+    # start drops on this scene, escalates (with a warning), and the final
+    # frame is drop-free — the retry is exact because rendering is
+    # stateless.
+    cfg = RenderConfig(width=128, height=64, max_depth=2, alias_factor=1)
+    with pytest.warns(RuntimeWarning, match="auto-capacity"):
+        img, info = render_single(_overflow_scene(), cfg,
+                                  backend="wavefront",
+                                  wf_opts=dict(chunk_rays=256),
+                                  return_info=True, on_drop="raise")
+    assert info["dropped"] == 0
+    assert img.shape == (64, 128, 3)
+
+
+def test_fit_scene_detects_drops_mid_fit_and_escalates():
+    # A fit whose geometry overflows the tuned-frontier capacity must
+    # DETECT the drop (not silently train on a biased gradient), discard
+    # the step, and re-run at escalated capacity; with an explicit
+    # too-tight capacity it must raise instead.
+    import jax.numpy as jnp
+    import optax
+
+    from raytpu.grad import fit_scene
+
+    cfg = RenderConfig(width=128, height=64, max_depth=2, alias_factor=1)
+    scene = _overflow_scene()
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    with pytest.raises(DroppedRaysError):
+        fit_scene(scene, cfg, target, steps=1, backend="wavefront",
+                  optimizer=optax.adam(1e-3), wf_opts=_OVERFLOW_WF)
+    with pytest.warns(RuntimeWarning, match="auto-capacity"):
+        _, losses = fit_scene(scene, cfg, target, steps=2,
+                              backend="wavefront",
+                              optimizer=optax.adam(1e-3),
+                              wf_opts=dict(chunk_rays=256))
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
 def test_cli_strict_drops_exits_nonzero(tmp_path, capsys):
     # An over-tight capacity factor under --strict-drops must fail loudly,
     # not write a silently-darkened image.

@@ -208,6 +208,72 @@ def test_sharded_wavefront_grads_match_single_device():
         assert np.abs(a - b).max() <= 2e-3 * scale, jtu.keystr(pa)
 
 
+def test_interleaved_sharded_wavefront_grads_match_block():
+    # The wavefront + interleave training path (shard_stride through the
+    # AD scan): loss and scene gradients must match the block sharding —
+    # the mean and the psum'd cotangents are order-invariant, so only FP
+    # reassociation separates them (ADVICE r4: this path had no test).
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from raytpu.grad import _sharded_grad_fn, loss_and_grad_sharded
+    from raytpu.parallel.mesh import make_mesh
+
+    jax.clear_caches()
+    _sharded_grad_fn.cache_clear()
+
+    cfg = RenderConfig(width=32, height=8, max_depth=2, alias_factor=1)
+    scene = random_scene(12, num_lights=2, seed=7)
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    # A non-flat target so the interleave's target permutation carries
+    # real signal (a constant target would hide a permutation bug).
+    target = target + jnp.arange(cfg.num_pixels,
+                                 dtype=jnp.float32)[:, None] * 1e-6
+    mesh = make_mesh(jax.devices()[:4])
+    l1, g1 = loss_and_grad_sharded(scene, cfg, target, mesh,
+                                   backend="wavefront")
+    l2, g2 = loss_and_grad_sharded(scene, cfg, target, mesh,
+                                   backend="wavefront", interleave=True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for (pa, a), (_, b) in zip(jtu.tree_leaves_with_path(g1),
+                               jtu.tree_leaves_with_path(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(a).max()), 1e-12)
+        assert np.abs(a - b).max() <= 2e-3 * scale, jtu.keystr(pa)
+
+
+def test_segsum_debug_mode_catches_overlong_runs():
+    # WF_DEBUG sanitizer (ADVICE r4): a run longer than max_run silently
+    # under-reduces without it; with it armed the violation raises.
+    import jax
+    import jax.numpy as jnp
+
+    import raytpu.kernels.wavefront as wf
+
+    acc = tuple(jnp.zeros((8,), jnp.float32) for _ in range(3))
+    ids = np.full(64, 0x3FFFFFFF, np.int32)
+    ids[:12] = 2                      # one 12-long run, bound is 4
+    em = tuple(jnp.asarray(np.where(ids < 8, 1.0, 0.0), jnp.float32)
+               for _ in range(3))
+    pid = jnp.asarray(ids)
+    old = wf.WF_DEBUG
+    wf.WF_DEBUG = True
+    try:
+        with np.testing.assert_raises(Exception):
+            out = wf._segsum_scatter(acc, em, pid, 8, 8, 4)
+            jax.block_until_ready(out)
+    finally:
+        wf.WF_DEBUG = old
+    # And a conforming call passes with the sanitizer armed.
+    wf.WF_DEBUG = True
+    try:
+        out = wf._segsum_scatter(acc, em, pid, 8, 8, 16)
+        np.testing.assert_allclose(np.asarray(out[0])[2], 12.0, rtol=1e-6)
+    finally:
+        wf.WF_DEBUG = old
+
+
 def test_fit_scene_wavefront_backend_converges():
     # fit_scene(backend="wavefront"): the large-scene training loop end to
     # end (interpret mode off-TPU).  Recover a perturbed matte colour — the

@@ -97,10 +97,19 @@ def main():
             from raytpu.grad import loss_and_grad_wavefront
             try:
                 target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
-                dt = bench(lambda: float(
-                    loss_and_grad_wavefront(
+
+                # AD drops bias the GRADIENT (round-5 guard): the counter
+                # is now carried out of every AD path, so the training row
+                # reports it — a nonzero here disqualifies the tuning.
+                def _step():
+                    loss, _g, info = loss_and_grad_wavefront(
                         scene, cfg, target, chunk_rays=1 << 17,
-                        capacity_factor=1.125)[0]), n=1)
+                        capacity_factor=1.125, on_drop="ignore",
+                        return_info=True)
+                    return float(loss), info["dropped"]
+
+                row["fwd_bwd_wavefront_dropped"] = _step()[1]
+                dt = bench(lambda: _step()[0], n=1)
                 row["fwd_bwd_wavefront_ms"] = round(dt * 1e3, 2)
                 row["fwd_bwd_wavefront_mrays_s"] = round(
                     cfg.rays_per_frame / dt / 1e6, 1)

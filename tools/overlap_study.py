@@ -59,6 +59,8 @@ def main():
                        max_depth=args.max_depth, alias_factor=1)
     scene = default_scene()
     mesh = make_mesh()
+    # Returns ((loss, dropped), grads) since round 5; the HLO study only
+    # needs the compiled text, so the aux change is shape-only here.
     fn = _sharded_grad_fn(cfg, mesh, args.backend,
                           interpret=args.backend != "jnp")
     gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)

@@ -44,26 +44,30 @@ def main():
         chunk, cap = int(ch_s), float(cap_s)
 
         def fn():
-            loss, g = loss_and_grad_wavefront(
-                scene, cfg, target, chunk_rays=chunk, capacity_factor=cap)
+            # A probe point is allowed to drop (on_drop="ignore") — the
+            # count is REPORTED so only zero-drop points become tunings.
+            loss, g, info = loss_and_grad_wavefront(
+                scene, cfg, target, chunk_rays=chunk, capacity_factor=cap,
+                on_drop="ignore", return_info=True)
             # Device->host scalar fetch: the only reliable barrier here.
             gs = sum(float(jnp.sum(jnp.abs(x)))
                      for x in jax.tree_util.tree_leaves(g))
-            return float(loss), gs
+            return float(loss), gs, info["dropped"]
 
         import jax
         t0 = time.perf_counter()
-        loss, gs = fn()  # compile
+        loss, gs, dropped = fn()  # compile
         t_compile = time.perf_counter() - t0
         ts = []
         for _ in range(max(args.iters, 1)):
             t0 = time.perf_counter()
-            loss, gs = fn()
+            loss, gs, dropped = fn()
             ts.append(time.perf_counter() - t0)
         print(json.dumps({"chunk": chunk, "cap": cap,
                           "step_s": round(min(ts), 2),
                           "compile_s": round(t_compile, 1),
-                          "loss": loss, "gsum": gs}), flush=True)
+                          "loss": loss, "gsum": gs,
+                          "dropped": dropped}), flush=True)
     return 0
 
 
