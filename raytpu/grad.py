@@ -56,6 +56,37 @@ def loss_and_grad(scene, cfg: RenderConfig, target_flat):
     return jax.value_and_grad(image_loss)(scene, cfg, target_flat)
 
 
+def exposure_image_loss(scene, cfg: RenderConfig, target_flat, gid=None):
+    """MSE against a TONE-MAPPED target (e.g. a decoded golden PPM) with
+    the exposure profiled out in closed form.
+
+    The reference's PPM writer maps linear colour c to
+    trunc(min(1, c) * 255 / maxColourVal) (main.cpp:66-80) — a global
+    scale by the image max plus 8-bit truncation.  Dividing the byte
+    target by 255 leaves target ≈ pred / maxColourVal, i.e. the target
+    equals the linear render up to ONE unknown global exposure e (the
+    clamp is inactive at this scene's ~1e-4 radiance scale and the
+    truncation is ≤1/255 noise).  Rather than learning e as a parameter,
+    the least-squares optimum e* = <pred,t>/<pred,pred> is substituted
+    differentiably — the loss is then invariant to the render's global
+    scale and measures pure shape mismatch, which is what fitting scene
+    geometry against a quantized golden needs (BASELINE config 4 against
+    the real testPPM.ppm — examples/fit_golden_scene.py).
+
+    `target_flat`: (P, 3) byte-target / 255.  With `gid`, only that
+    pixel subset is rendered and compared (minibatch fit at exact camera
+    positions — cheaper than a full 800x600 render per step)."""
+    if gid is None:
+        gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+        target = target_flat
+    else:
+        target = target_flat[gid]
+    pred = render_pixels(scene, cfg, gid)
+    e = jnp.sum(pred * target) / (jnp.sum(pred * pred) + 1e-30)
+    r = e * pred - target
+    return jnp.mean(r * r)
+
+
 def loss_and_grad_pallas(scene, cfg: RenderConfig, target_flat):
     """Loss + gradients via the fused Pallas forward/backward kernels
     (raytpu.kernels.trace_pallas) — the fast TPU path (interpret-mode
