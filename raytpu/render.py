@@ -158,7 +158,10 @@ def render_single(scene, cfg: RenderConfig, backend: str = "auto",
             if n == 0 or i + 1 == len(trials):
                 break
             _warn_escalate(n, o, trials[i + 1])
-        info = dict(info, dropped=_report_drops(n, on_drop))
+        # The resolved tuning rides out so a caller rendering many frames
+        # of the same scene can pass it back as wf_opts and skip the
+        # ladder's dropped attempts next time.
+        info = dict(info, dropped=_report_drops(n, on_drop), wf_opts=o)
     else:
         img = render_image(scene, cfg)
         info = dict(dropped=0)
@@ -259,7 +262,10 @@ def render_sharded(scene, cfg: RenderConfig, mesh=None, backend: str = "auto",
     img = out[:p].reshape(cfg.height, cfg.width, 3)
     dropped = _report_drops(nd, on_drop) if (backend == "wavefront"
                                              or return_info) else 0
-    return (img, dict(dropped=dropped)) if return_info else img
+    info = dict(dropped=dropped)
+    if backend == "wavefront":
+        info["wf_opts"] = o       # resolved tuning (see render_single)
+    return (img, info) if return_info else img
 
 
 def render_timed(scene, cfg: RenderConfig, mesh=None, warmup: int = 1,
