@@ -67,11 +67,50 @@ f32 = jnp.float32
 VMEM_LIMIT_BYTES = 127 * 1024 * 1024
 
 
+# --- Select forms -----------------------------------------------------------
+# _BLEND_SELECTS rewrites every select in the DIFFERENTIABLE path (wheres,
+# min/max/clip on values that carry gradients) as exact arithmetic blending
+#     a*m + b*(1-m),  m = mask.astype(f32)
+# which is bitwise equal to jnp.where for finite operands (a*1 = a, b*0 = 0,
+# a+0 = a) but leaves only f32 residuals for autodiff: the transpose of a
+# blend needs m (f32), while the transpose of a select needs the i1 mask —
+# and a differentiated lax.cond whose residual set contains vector-i1 masks
+# kills the Mosaic remote compile ("failed to legalize operation 'scf.if'",
+# round 3; reduced repro tools/probe_cond_f32_residuals.py, where the
+# blend-form cond PASSES with exact gradients).  This is what lets the
+# full-tree backward keep the liveness early-exit conds (RAYTPU_BWD_FULLTREE
+# =ee, _bwd_tile_grads_fulltree).  The flag is flipped only while TRACING
+# that backward; every forward/per-level path keeps plain selects.
+# Masks and comparisons themselves stay i1 — only select OUTPUTS that carry
+# gradients are blended (i1 intermediates are fine as long as the backward
+# never references them).
+_BLEND_SELECTS = False
+
+
+def _selw(mask, a, b):
+    """jnp.where(mask, a, b) for float operands — blend form under
+    _BLEND_SELECTS.  Operands MUST be finite (NaN/Inf * 0 = NaN breaks the
+    blend); every call site below guards its non-finite branches first,
+    exactly as the double-where guards always did."""
+    if _BLEND_SELECTS:
+        m = mask.astype(f32)
+        return a * m + b * (f32(1.0) - m)
+    return jnp.where(mask, a, b)
+
+
+def _minf(a, b):
+    """jnp.minimum for finite operands (ties resolve identically: a < b
+    picks b on ties, matching minimum's left-operand... both equal)."""
+    if _BLEND_SELECTS:
+        return _selw(a < b, a, b)
+    return jnp.minimum(a, b)
+
+
 def _sqrt_pos(x):
     """sqrt(x) clamped at 0, with the double-where so the backward kernel's
     jax.vjp sees a finite derivative on clamped lanes (sqrt'(0) is inf)."""
     pos = x > 0
-    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, f32(1.0))), f32(0.0))
+    return _selw(pos, jnp.sqrt(_selw(pos, x, f32(1.0))), f32(0.0))
 
 
 # Mosaic's scf.for lowering rejects boolean vector carries, so the sphere
@@ -107,7 +146,7 @@ def _inv2a(a):
     divide is per-RAY, not per-sphere, so callers hoist it out of their
     sphere loops and _ray_sphere_t multiplies (1-ulp different from the /
     form; all kernel-vs-jnp contracts are tolerance-based)."""
-    return f32(1.0) / jnp.where(a == 0, f32(1.0), f32(2.0) * a)
+    return f32(1.0) / _selw(a == 0, f32(1.0), f32(2.0) * a)
 
 
 def _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, inv2a, cx, cy, cz, rad):
@@ -122,9 +161,9 @@ def _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, inv2a, cx, cy, cz, rad):
     root = _sqrt_pos(radicand)
     u0 = (-b + root) * inv2a
     u1 = (-b - root) * inv2a
-    t0 = jnp.where(has_real & (u0 > _EPS_RAY), u0, _BIG_T)
-    t1 = jnp.where(has_real & (u1 > _EPS_RAY), u1, _BIG_T)
-    t = jnp.minimum(t0, t1)
+    t0 = _selw(has_real & (u0 > _EPS_RAY), u0, _BIG_T)
+    t1 = _selw(has_real & (u1 > _EPS_RAY), u1, _BIG_T)
+    t = _minf(t0, t1)
     return t, t < _BIG_T
 
 
@@ -139,7 +178,7 @@ def _hit_dict(found, min_t, ox, oy, oz, dx, dy, dz, cx, cy, cz,
     hz = oz + min_t * dz
     nx, ny, nz = hx - cx, hy - cy, hz - cz
     n2 = nx * nx + ny * ny + nz * nz
-    inv = jax.lax.rsqrt(jnp.where(n2 == 0, f32(1.0), n2))
+    inv = jax.lax.rsqrt(_selw(n2 == 0, f32(1.0), n2))
     return dict(t=min_t, found=found, hx=hx, hy=hy, hz=hz,
                 nx=nx * inv, ny=ny * inv, nz=nz * inv,
                 mr=mr, mg=mg, mb=mb, gr=gr, gg=gg, gb=gb, op=op, ior=ior)
@@ -232,15 +271,15 @@ def _matte_sum(scn, lights, n_lights, hx, hy, hz, nx, ny, nz):
         lx, ly, lz = lights[0, l], lights[1, l], lights[2, l]
         ex, ey, ez = lx - hx, ly - hy, lz - hz
         gap = ex * ex + ey * ey + ez * ez
-        inv = jax.lax.rsqrt(jnp.where(gap == 0, f32(1.0), gap))
+        inv = jax.lax.rsqrt(_selw(gap == 0, f32(1.0), gap))
         incidence = nx * ex * inv + ny * ey * inv + nz * ez * inv
         blocked = scn.shadow_blocked(hx, hy, hz, lx, ly, lz, gap)
         # Double-where on the divide: at gap == 0 the primal is already
         # masked (incidence is 0 there), but the unguarded division's vjp
         # would emit 0 * (0/0) = NaN into the scene cotangents.
-        w = jnp.where(~blocked & (incidence > 0),
-                      incidence / jnp.where(gap == 0, f32(1.0), gap),
-                      f32(0.0))
+        w = _selw(~blocked & (incidence > 0),
+                  incidence / _selw(gap == 0, f32(1.0), gap),
+                  f32(0.0))
         sr = sr + w * lights[3, l]
         sg = sg + w * lights[4, l]
         sb = sb + w * lights[5, l]
@@ -454,7 +493,7 @@ class _VjpScene:
         a = dx * dx + dy * dy + dz * dz
         t_w, _ = _ray_sphere_t(ox, oy, oz, dx, dy, dz, a, _inv2a(a),
                                cx, cy, cz, rad)
-        min_t = jnp.where(found, t_w, _MAX_DIST)
+        min_t = _selw(found, t_w, _MAX_DIST)
         return _hit_dict(found, min_t, ox, oy, oz, dx, dy, dz, cx, cy, cz,
                          fields[_S_MR], fields[_S_MG], fields[_S_MB],
                          fields[_S_GR], fields[_S_GG], fields[_S_GB],
@@ -477,7 +516,7 @@ class _VjpScene:
         fields = _gather_cols(self.vals, idx)
         got = idx >= 0
         # Non-contained lanes mirror _primary_container's init (ior=1).
-        ior = jnp.where(got, fields[_S_IOR], f32(1.0))
+        ior = _selw(got, fields[_S_IOR], f32(1.0))
         return (got, fields[_S_MR], fields[_S_MG], fields[_S_MB], ior,
                 fields[_S_OP], idx)
 
@@ -488,9 +527,9 @@ def _fresnel(n1, n2, c1, c2):
     right = n2 * c2
     num = left - right
     den2 = (left + right) * (left + right)
-    refl = jnp.minimum(num * num / jnp.where(den2 < _EPS_FRESNEL, f32(1.0), den2),
-                       f32(1.0))
-    return jnp.where(den2 < _EPS_FRESNEL, f32(1.0), refl)
+    refl = _minf(num * num / _selw(den2 < _EPS_FRESNEL, f32(1.0), den2),
+                 f32(1.0))
+    return _selw(den2 < _EPS_FRESNEL, f32(1.0), refl)
 
 
 def _trace_level(scn, lights, n_lights, bg, state, spawn,
@@ -526,9 +565,9 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
 
     if emit:
         miss = ~hit["found"]
-        er = jnp.where(miss, ir * mmr, f32(0.0))
-        eg = jnp.where(miss, ig * mmg, f32(0.0))
-        eb = jnp.where(miss, ib * mmb, f32(0.0))
+        er = _selw(miss, ir * mmr, f32(0.0))
+        eg = _selw(miss, ig * mmg, f32(0.0))
+        eb = _selw(miss, ib * mmb, f32(0.0))
         mgate = live & (opacity > 0)
 
         def shade(_):
@@ -537,15 +576,26 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
                               hit["nx"], hit["ny"], hit["nz"])
 
         if skip_dead_shading:
-            zero = jnp.zeros_like(ir)
-            sr, sg, sb = jax.lax.cond(
-                jnp.any(mgate), shade,
-                lambda _: (zero, zero, zero), operand=None)
+            # Operand-derived dead outputs under blend mode: this cond is
+            # then DIFFERENTIATED (the per-level vjp's shading skip,
+            # RAYTPU_BWD_SKIP_SHADING) and a constant-in-one-branch cond
+            # output becomes the vector arith.select Mosaic cannot
+            # legalize; x*0 lowers as a plain scf.if either way.
+            if _BLEND_SELECTS:
+                sr, sg, sb = jax.lax.cond(
+                    jnp.any(mgate), shade,
+                    lambda i: (i * f32(0.0), i * f32(0.0), i * f32(0.0)),
+                    ir)
+            else:
+                zero = jnp.zeros_like(ir)
+                sr, sg, sb = jax.lax.cond(
+                    jnp.any(mgate), shade,
+                    lambda _: (zero, zero, zero), operand=None)
         else:
             sr, sg, sb = shade(None)
-        er = er + jnp.where(mgate, opacity * ir * hit["mr"] * sr, f32(0.0))
-        eg = eg + jnp.where(mgate, opacity * ig * hit["mg"] * sg, f32(0.0))
-        eb = eb + jnp.where(mgate, opacity * ib * hit["mb"] * sb, f32(0.0))
+        er = er + _selw(mgate, opacity * ir * hit["mr"] * sr, f32(0.0))
+        eg = eg + _selw(mgate, opacity * ig * hit["mg"] * sg, f32(0.0))
+        eb = eb + _selw(mgate, opacity * ib * hit["mb"] * sb, f32(0.0))
         emissions = (er, eg, eb)
     else:
         emissions = None
@@ -557,20 +607,22 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
     hx, hy, hz = hit["hx"], hit["hy"], hit["hz"]
 
     # --- Refraction (calculateRefraction, raytracer.h:642-815) ---
-    cos1 = jnp.clip(dx * nx + dy * ny + dz * nz, f32(-1.0), f32(1.0))
+    dot_dn = dx * nx + dy * ny + dz * nz
+    cos1 = _selw(dot_dn < f32(-1.0), f32(-1.0),
+                 _selw(dot_dn > f32(1.0), f32(1.0), dot_dn))
     sin1 = _sqrt_pos(f32(1.0) - cos1 * cos1)
     probe_x = hx + _SHIFT * dx
     probe_y = hy + _SHIFT * dy
     probe_z = hz + _SHIFT * dz
     t_in, tmr, tmg, tmb, tior, top, t_idx = scn.primary_container(
         probe_x, probe_y, probe_z)
-    tior_bg = jnp.where(t_in, tior, bg["ior"])
-    tmop = jnp.where(t_in, top, bg["opacity"])
-    tmmr = jnp.where(t_in, tmr, bg["matte_r"])
-    tmmg = jnp.where(t_in, tmg, bg["matte_g"])
-    tmmb = jnp.where(t_in, tmb, bg["matte_b"])
+    tior_bg = _selw(t_in, tior, bg["ior"])
+    tmop = _selw(t_in, top, bg["opacity"])
+    tmmr = _selw(t_in, tmr, bg["matte_r"])
+    tmmg = _selw(t_in, tmg, bg["matte_g"])
+    tmmb = _selw(t_in, tmb, bg["matte_b"])
 
-    ratio = mior / jnp.where(tior_bg == 0, f32(1.0), tior_bg)
+    ratio = mior / _selw(tior_bg == 0, f32(1.0), tior_bg)
     sin2 = ratio * sin1
     tir = (sin2 <= f32(-1.0)) | (sin2 >= f32(1.0))
 
@@ -578,34 +630,37 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
     # (algebra.h:22-65); a == 1 so only the radicand branch matters.
     qb = f32(2.0) * cos1
     ratio2 = ratio * ratio
-    qc = f32(1.0) - f32(1.0) / jnp.where(ratio2 == 0, f32(1.0), ratio2)
+    qc = f32(1.0) - f32(1.0) / _selw(ratio2 == 0, f32(1.0), ratio2)
     radicand = qb * qb - f32(4.0) * qc
     rad_zero = jnp.abs(radicand) < _TOL
     root = _sqrt_pos(radicand)
     dbl = -qb * f32(0.5)
-    r0 = jnp.where(rad_zero, dbl, (-qb + root) * f32(0.5))
-    r1 = jnp.where(rad_zero, dbl, (-qb - root) * f32(0.5))
+    r0 = _selw(rad_zero, dbl, (-qb + root) * f32(0.5))
+    r1 = _selw(rad_zero, dbl, (-qb - root) * f32(0.5))
     nroots = jnp.where(rad_zero, 1, 2)
 
     c0x, c0y, c0z = dx + r0 * nx, dy + r0 * ny, dz + r0 * nz
     c1x, c1y, c1z = dx + r1 * nx, dy + r1 * ny, dz + r1 * nz
     a0 = dx * c0x + dy * c0y + dz * c0z
+    # a1/nroots feed only comparisons (no gradient flows through them), so
+    # they keep plain selects even in blend mode — a primal-only select
+    # leaves no residual, and blending a1 would need a finite -inf stand-in.
     a1 = jnp.where(nroots >= 2, dx * c1x + dy * c1y + dz * c1z, -jnp.inf)
     floor = f32(-0.1)
     take0 = a0 > floor
     take1 = a1 > jnp.maximum(a0, floor)
-    rdx = jnp.where(take1, c1x, jnp.where(take0, c0x, f32(0.0)))
-    rdy = jnp.where(take1, c1y, jnp.where(take0, c0y, f32(0.0)))
-    rdz = jnp.where(take1, c1z, jnp.where(take0, c0z, f32(0.0)))
+    rdx = _selw(take1, c1x, _selw(take0, c0x, f32(0.0)))
+    rdy = _selw(take1, c1y, _selw(take0, c0y, f32(0.0)))
+    rdz = _selw(take1, c1z, _selw(take0, c0z, f32(0.0)))
 
     cos2 = _sqrt_pos(f32(1.0) - sin2 * sin2)
-    cos2 = jnp.where(cos1 < 0, -cos2, cos2)
+    cos2 = _selw(cos1 < 0, -cos2, cos2)
     rs = _fresnel(mior, tior_bg, cos1, cos2)
     rp = _fresnel(mior, tior_bg, cos2, cos1)
-    factor = jnp.where(tir, f32(1.0), f32(0.5) * (rs + rp))
+    factor = _selw(tir, f32(1.0), f32(0.5) * (rs + rp))
 
     spawn_m = live & (transparency > 0)
-    rscale = jnp.where(spawn_m, transparency * (f32(1.0) - factor), f32(0.0))
+    rscale = _selw(spawn_m, transparency * (f32(1.0) - factor), f32(0.0))
     r_ir, r_ig, r_ib = rscale * ir, rscale * ig, rscale * ib
 
     # --- Reflection (stage 1, raytracer.h:552-615) ---
@@ -615,14 +670,14 @@ def _trace_level(scn, lights, n_lights, bg, state, spawn,
     rcb = (pr + mop * hit["gb"]) * ib
     rsig = (rcr >= _MIN_SIG) | (rcg >= _MIN_SIG) | (rcb >= _MIN_SIG)
     ggate = spawn_m & rsig
-    g_ir = jnp.where(ggate, rcr, f32(0.0))
-    g_ig = jnp.where(ggate, rcg, f32(0.0))
-    g_ib = jnp.where(ggate, rcb, f32(0.0))
+    g_ir = _selw(ggate, rcr, f32(0.0))
+    g_ig = _selw(ggate, rcg, f32(0.0))
+    g_ib = _selw(ggate, rcb, f32(0.0))
 
     perp = f32(2.0) * (dx * nx + dy * ny + dz * nz)
     gx, gy, gz = dx - perp * nx, dy - perp * ny, dz - perp * nz
     g2 = gx * gx + gy * gy + gz * gz
-    ginv = jax.lax.rsqrt(jnp.where(g2 == 0, f32(1.0), g2))
+    ginv = jax.lax.rsqrt(_selw(g2 == 0, f32(1.0), g2))
     gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
     gox, goy, goz = hx + _SHIFT * gx, hy + _SHIFT * gy, hz + _SHIFT * gz
 
@@ -672,7 +727,12 @@ def _trace_tree(scn, lights, bg, n_lights, max_depth,
         compute = jax.checkpoint(compute)
 
     def dead(st, spawn):
-        z = jnp.zeros_like(st[6])
+        # Operand-derived zero under blend mode (x*0, exact for the finite
+        # values the tracer guarantees): a cond output constant in one
+        # branch becomes a vector arith.select Mosaic cannot legalize once
+        # the cond is DIFFERENTIATED (the forward-only cond tolerates the
+        # constant form).
+        z = st[6] * f32(0.0) if _BLEND_SELECTS else jnp.zeros_like(st[6])
         return ((z, z, z),
                 tuple(jnp.concatenate([s, s], axis=0)
                       for s in st) if spawn else ())
@@ -899,13 +959,22 @@ def _bwd_alive(st):
 # the whole tree.  Kept behind RAYTPU_BWD_FULLTREE=always for scenes with
 # ~no dead tiles, and pinned against the per-level sweep by
 # tests/test_pallas.py::test_bwd_fulltree_matches_per_level.
+#
+# Round 5 re-opens reason (1): RAYTPU_BWD_FULLTREE=ee differentiates
+# THROUGH the liveness conds with the level bodies in blend form
+# (_BLEND_SELECTS), so every residual crossing a cond boundary is f32 and
+# Mosaic legalizes the transposed scf.if (reduced repro:
+# tools/probe_cond_f32_residuals.py).  Values and cotangents are bitwise
+# equal to the select forms for finite operands (a*1 = a, b*0 = 0).
 BWD_FULLTREE = "never"
 
 
-def _bwd_use_fulltree(depth: int, n_spheres: int, n_lights: int) -> bool:
+def _bwd_use_fulltree(depth: int, n_spheres: int, n_lights: int) -> str:
+    """"" (use the per-level sweep), "always" (straight-line full tree)
+    or "ee" (full tree with differentiated early-exit conds, blend form)."""
     import os
     mode = os.environ.get("RAYTPU_BWD_FULLTREE", BWD_FULLTREE)
-    return mode == "always"
+    return mode if mode in ("always", "ee") else ""
 
 
 def _bwd_tile_grads_fulltree(scene_sel, sv, lv, bgv, n_spheres, n_lights,
@@ -921,12 +990,16 @@ def _bwd_tile_grads_fulltree(scene_sel, sv, lv, bgv, n_spheres, n_lights,
     Gradient semantics are identical to the per-level sweep (the autodiff-
     equivalence test differentiates exactly this program shape); state0's
     medium fields are built from bgv inside _trace_tree, so the background
-    cotangent needs no manual fold here.  early_exit must stay OFF in this
-    path: differentiating through _trace_tree's liveness conds produces a
-    transposed scf.if whose residual outputs include vector i1 masks, which
-    Mosaic fails to legalize ("failed to legalize operation 'scf.if'",
-    measured on v5e) — so the full tree runs straight-line and the
-    dead-tile skipping is the per-level sweep's advantage to keep."""
+    cotangent needs no manual fold here.
+
+    early_exit=True (round 5, RAYTPU_BWD_FULLTREE=ee): differentiate
+    THROUGH the liveness conds with the level bodies in blend form
+    (_BLEND_SELECTS) so the transposed scf.if's residuals are f32-only —
+    the vector-i1 residuals that killed this in round 3 never exist
+    (reduced repro tools/probe_cond_f32_residuals.py).  Dead tiles then
+    skip both the primal AND the transpose sweep, combining the
+    per-level sweep's early exit with the full tree's no-rebuild."""
+    global _BLEND_SELECTS
 
     def weighted(sv_, lv_, bgv_):
         scn = _VjpScene(scene_sel, sv_, n_spheres)
@@ -937,12 +1010,45 @@ def _bwd_tile_grads_fulltree(scene_sel, sv, lv, bgv, n_spheres, n_lights,
                                  dx, dy, dz, early_exit=early_exit)
         return jnp.sum(ar * gw[0] + ag * gw[1] + ab * gw[2])
 
-    _, vjp = jax.vjp(weighted, sv, lv, bgv)
-    return vjp(f32(1.0))
+    if early_exit:
+        _BLEND_SELECTS = True
+    try:
+        _, vjp = jax.vjp(weighted, sv, lv, bgv)
+        out = vjp(f32(1.0))
+    finally:
+        _BLEND_SELECTS = False
+    return out
 
 
 def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
-                    dx, dy, dz, gw, early_exit=True):
+                    dx, dy, dz, gw, early_exit=True, skip_shading=None):
+    """Entry for the per-level sweep: dispatches to the straight-line form
+    or, with RAYTPU_BWD_SKIP_SHADING=1 (or skip_shading=True), the variant
+    whose reverse vjps guard the lights x spheres shadow/matte block
+    behind a DIFFERENTIATED mgate-liveness cond — possible since round 5's
+    blend mode keeps every cond-crossing residual f32 (see _BLEND_SELECTS;
+    blend == select bitwise, pinned by
+    test_blend_selects_bitwise_equal_straightline)."""
+    import os
+    if skip_shading is None:
+        skip_shading = os.environ.get("RAYTPU_BWD_SKIP_SHADING", "") == "1"
+    if not skip_shading:
+        return _bwd_tile_grads_impl(scene_sel, sv, lv, bgv, n_spheres,
+                                    n_lights, depth, dx, dy, dz, gw,
+                                    early_exit)
+    global _BLEND_SELECTS
+    _BLEND_SELECTS = True
+    try:
+        return _bwd_tile_grads_impl(scene_sel, sv, lv, bgv, n_spheres,
+                                    n_lights, depth, dx, dy, dz, gw,
+                                    early_exit, skip_shading=True)
+    finally:
+        _BLEND_SELECTS = False
+
+
+def _bwd_tile_grads_impl(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
+                         dx, dy, dz, gw, early_exit=True,
+                         skip_shading=False):
     """Per-tile reverse sweep: gradients of sum(levels' emissions * gw) with
     respect to (sv, lv, bgv) plus nothing else — the pure orchestration the
     backward kernel runs per (tile, sample), extracted so tests can execute
@@ -987,7 +1093,8 @@ def _bwd_tile_grads(scene_sel, sv, lv, bgv, n_spheres, n_lights, depth,
                   matte_b=bgv_vals[2], ior=bgv_vals[3],
                   opacity=bgv_vals[4])
         em, children = _trace_level(
-            scn, lights, n_lights, bg, st, spawn=spawn, emit=emit)
+            scn, lights, n_lights, bg, st, spawn=spawn, emit=emit,
+            skip_dead_shading=skip_shading and emit)
         out = em, (children if spawn else ())
         if sel_out:
             return out + (tuple(scn.sel_rec),)
@@ -1165,12 +1272,15 @@ def _make_bwd_kernel(cfg: RenderConfig, n_spheres: int, n_lights: int,
         weight = f32(1.0 / (alias * alias))
         gw = (g_ref[0] * weight, g_ref[1] * weight, g_ref[2] * weight)
 
-        grads_fn = (_bwd_tile_grads_fulltree
-                    if _bwd_use_fulltree(cfg.max_depth, n_spheres, n_lights)
-                    else _bwd_tile_grads)
-        d_sv, d_lv, d_bgv = grads_fn(
-            scene_ref, sv, lv, bgv, n_spheres, n_lights, cfg.max_depth,
-            dx, dy, dz, gw)
+        mode = _bwd_use_fulltree(cfg.max_depth, n_spheres, n_lights)
+        if mode:
+            d_sv, d_lv, d_bgv = _bwd_tile_grads_fulltree(
+                scene_ref, sv, lv, bgv, n_spheres, n_lights, cfg.max_depth,
+                dx, dy, dz, gw, early_exit=(mode == "ee"))
+        else:
+            d_sv, d_lv, d_bgv = _bwd_tile_grads(
+                scene_ref, sv, lv, bgv, n_spheres, n_lights, cfg.max_depth,
+                dx, dy, dz, gw)
 
         first = (tile == 0) & (sample == 0)
 

@@ -195,6 +195,93 @@ def test_bwd_fulltree_matches_per_level():
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6 * scale)
 
 
+def test_blend_selects_bitwise_equal_straightline():
+    """The blend rewrite (a*m + b*(1-m), m in {0,1}) must be BITWISE equal
+    to the select form for the same straight-line program — a*1 = a,
+    b*0 = 0, a+0 = a are exact for the finite operands the tracer
+    guarantees.  This is the exactness lemma the ee backward mode rests
+    on; any site whose discarded branch can go non-finite would break it
+    loudly here (NaN * 0 = NaN)."""
+    import jax
+    import jax.numpy as jnp
+
+    import raytpu.kernels.trace_pallas as tp
+    from raytpu.config import RenderConfig as RC
+
+    scene = default_scene()
+    n = scene.spheres.pos.shape[0]
+    n_lights = scene.lights.pos.shape[0]
+    tbl, ltbl, bgt = tp._scene_tables(scene)
+    lv = tuple(tuple(ltbl[r, l] for l in range(n_lights))
+               for r in range(tp.LIGHT_ROWS))
+    bgv = tuple(bgt[k, 0] for k in range(5))
+    depth = 3
+    cfg = RC(width=tp.LANES, height=tp.TILE_ROWS, max_depth=depth,
+             alias_factor=1)
+    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32).reshape(
+        tp.TILE_ROWS, tp.LANES)
+    dx, dy, dz = tp._camera_dirs(cfg, gid, jnp.int32(0), jnp.int32(0))
+    gw = tuple(jnp.full((tp.TILE_ROWS, tp.LANES), 0.5 + k, jnp.float32)
+               for k in range(3))
+    want = tp._bwd_tile_grads_fulltree(tbl, tbl, lv, bgv, n, n_lights,
+                                       depth, dx, dy, dz, gw)
+    tp._BLEND_SELECTS = True
+    try:
+        got = tp._bwd_tile_grads_fulltree(tbl, tbl, lv, bgv, n, n_lights,
+                                          depth, dx, dy, dz, gw,
+                                          early_exit=False)
+    finally:
+        tp._BLEND_SELECTS = False
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bwd_fulltree_early_exit_blend_matches_straightline():
+    """RAYTPU_BWD_FULLTREE=ee: the full-tree backward with the liveness
+    conds DIFFERENTIATED THROUGH (level bodies in blend form — every
+    cond-crossing residual f32, tools/probe_cond_f32_residuals.py) must
+    reproduce the straight-line full-tree cotangents.  Blend vs select is
+    BITWISE equal under the same program shape (verified: straight-line
+    blend == straight-line select exactly), so the residual noise here is
+    purely the cond-boundary fusion class — liveness-cond branches
+    compile as separate subcomputations whose FMA-contraction choices
+    flip near-tangent lanes (the documented measure-zero class, same
+    reason test_bwd_fulltree_matches_per_level compares straight-line to
+    straight-line) — hence the flip-class tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.config import RenderConfig as RC
+    from raytpu.kernels.trace_pallas import (LANES, LIGHT_ROWS, TILE_ROWS,
+                                             _bwd_tile_grads_fulltree,
+                                             _camera_dirs, _scene_tables)
+
+    scene = default_scene()
+    n = scene.spheres.pos.shape[0]
+    n_lights = scene.lights.pos.shape[0]
+    tbl, ltbl, bgt = _scene_tables(scene)
+    lv = tuple(tuple(ltbl[r, l] for l in range(n_lights))
+               for r in range(LIGHT_ROWS))
+    bgv = tuple(bgt[k, 0] for k in range(5))
+    depth = 3
+    cfg = RC(width=LANES, height=TILE_ROWS, max_depth=depth, alias_factor=1)
+    gid = jnp.arange(cfg.num_pixels, dtype=jnp.int32).reshape(
+        TILE_ROWS, LANES)
+    dx, dy, dz = _camera_dirs(cfg, gid, jnp.int32(0), jnp.int32(0))
+    gw = tuple(jnp.full((TILE_ROWS, LANES), 0.5 + k, jnp.float32)
+               for k in range(3))
+    want = _bwd_tile_grads_fulltree(tbl, tbl, lv, bgv, n, n_lights, depth,
+                                    dx, dy, dz, gw)
+    got = _bwd_tile_grads_fulltree(tbl, tbl, lv, bgv, n, n_lights, depth,
+                                   dx, dy, dz, gw, early_exit=True)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(a, b, atol=5e-3 * scale)
+
+
 def test_backward_kernel_matches_jnp_autodiff():
     import jax
     import jax.numpy as jnp
