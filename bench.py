@@ -236,15 +236,16 @@ def main():
                               alias_factor=3)
             s5 = random_scene(256, seed=3)
 
-            # 128K chunks + capacity 0.875: the zero-drop frontier after
-            # round 4's strided pixel-major chunks (every chunk sees
-            # frame-average liveness; 0.8125 drops 0.9M rays and 256K
-            # chunks drop at 0.875 — tools/wf_frontier.py, BASELINE.md
-            # round-4 studies).  The dropped counter keeps the number
-            # honest — any drop is reported alongside the time.
+            # 512K chunks x capacity 0.9375 with block-local compaction
+            # (the round-5 frontier: batched per-tile sorts beat the
+            # global co-sort 13-21% at equal settings and reverse the
+            # chunk-size preference; 2.80 s zero-drop measured,
+            # tools/compact_ab.py, BASELINE.md round-5 studies).  The
+            # dropped counter keeps the number honest — any drop is
+            # reported alongside the time.
             def fn5():
                 img, info = render_pixels_wavefront(
-                    s5, c5, chunk_rays=1 << 17, capacity_factor=0.875,
+                    s5, c5, chunk_rays=1 << 19, capacity_factor=0.9375,
                     return_info=True)
                 return float(jnp.sum(img)), int(info["dropped"])
 

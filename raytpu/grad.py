@@ -402,8 +402,9 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
     # The auto-capacity ladder applies wherever a wavefront body might
     # run (single-device wavefront or any mesh path — only wavefront
     # shards ever report drops, so escalation on the other mesh backends
-    # simply never triggers).
-    trials = _wf_auto_trials(wf_opts)
+    # simply never triggers).  train=True: the AD path's frontier
+    # (global compaction, 128K chunks).
+    trials = _wf_auto_trials(wf_opts, train=True)
     cap_i = 0
     losses = []
     for step in range(steps):

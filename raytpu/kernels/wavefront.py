@@ -473,6 +473,121 @@ def _compact(children, pid, cap: int):
     return state, new_pid, dropped, n_kept
 
 
+def _make_cursor_copy_kernel(n_ops: int, bs_rows: int):
+    """Sequential-grid copy: block t of each operand lands at row
+    starts[t] of the full output (revisited VMEM block), when ok[t].
+    Writing the FULL static-size block at a dynamic start and letting the
+    next block overwrite the previous one's dead tail is what makes the
+    copy static-shaped (Mosaic needs static slice sizes; the pattern is
+    probed exact on v5e incl. unaligned starts)."""
+
+    def kernel(starts_ref, ok_ref, *refs):
+        in_refs = refs[:n_ops]
+        out_refs = refs[n_ops:]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            # Dead init: key = DEAD_BIT (treated dead downstream), state 0.
+            out_refs[0][:] = jnp.full(out_refs[0].shape, _DEAD_BIT,
+                                      jnp.int32)
+            for o in out_refs[1:]:
+                o[:] = jnp.zeros(o.shape, f32)
+
+        @pl.when(ok_ref[t] > 0)
+        def _():
+            s = starts_ref[t]
+            for i, o in zip(in_refs, out_refs):
+                o[pl.ds(s, bs_rows), :] = i[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows", "bs_rows",
+                                             "interpret"))
+def _cursor_copy_call(starts, ok, ops, cap_rows: int, bs_rows: int,
+                      interpret: bool):
+    """ops: tuple of (T*bs_rows, LANES) arrays (key int32 first); returns
+    (cap_rows + bs_rows, LANES) outputs with blocks placed at starts."""
+    n_ops = len(ops)
+    t_blocks = ops[0].shape[0] // bs_rows
+    blk = pl.BlockSpec((bs_rows, LANES), lambda t: (t, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((cap_rows + bs_rows, LANES), lambda t: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out_shape = ([jax.ShapeDtypeStruct((cap_rows + bs_rows, LANES),
+                                       jnp.int32)]
+                 + [jax.ShapeDtypeStruct((cap_rows + bs_rows, LANES),
+                                         jnp.float32)] * (n_ops - 1))
+    return pl.pallas_call(
+        _make_cursor_copy_kernel(n_ops, bs_rows),
+        grid=(t_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                  + [blk] * n_ops),
+        out_specs=tuple([full] * n_ops),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(starts, ok, *ops)
+
+
+def _compact_blocked(children, pid, cap: int, interpret: bool = False):
+    """Block-local replacement for _compact (ROADMAP #2 / VERDICT r4
+    next-step 5): sort each tile's children independently (a BATCHED
+    (T, 2*WF_BLOCK) co-sort — log^2 passes scale with the block, not the
+    global length) and concatenate the live prefixes with the cursor-copy
+    kernel.  Parents are pid-sorted and a tile's children inherit its pid
+    range, so block-local ordering + block-order concatenation keeps the
+    global kept sequence pid-sorted — except for <= LANES dead filler
+    rays at each block seam (the copy commits whole 128-lane rows).
+    Fillers carry exact-zero state, so they are EXACT for rendering; they
+    split at most one pid run per seam and add one zero-valued boundary
+    each, which the caller absorbs by widening the _segsum_scatter prefix
+    by 2*T_blocks (run splits sum to the same pixel; dead boundaries
+    scatter zeros at the clamped index).  Capacity is enforced at row
+    granularity from the block-start prefix sums: whole blocks whose
+    start exceeds the capacity are skipped (drop from the pid tail, like
+    the global sort), and live rays past the slice are counted — drop
+    accounting is exact.  Forward-only (the AD path keeps _compact_ad's
+    global co-sort: its backward needs the global inverse permutation
+    anyway)."""
+    r2 = children[0].shape[0]
+    rows = r2 // LANES
+    bs_rows = 2 * WF_BLOCK_ROWS          # one tile's [refr | refl] children
+    if rows % bs_rows or rows // bs_rows <= 1 or cap % LANES:
+        return _compact(children, pid, cap)
+    t_blocks = rows // bs_rows
+    bs = bs_rows * LANES
+    ir, ig, ib = children[6], children[7], children[8]
+    alive = (ir != 0) | (ig != 0) | (ib != 0)
+    key = jnp.where(alive, jnp.int32(0), _DEAD_BIT) | pid
+    batched = tuple(o.reshape(t_blocks, bs) for o in (key,) + children)
+    srt = jax.lax.sort(batched, num_keys=1, is_stable=False)  # per block
+    live_t = jnp.sum((srt[0] < _DEAD_BIT).astype(jnp.int32), axis=1)
+    live_rows = -(-live_t // LANES)                       # ceil, rows
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(live_rows)[:-1]])
+    cap_rows = cap // LANES
+    ok = (starts <= jnp.int32(cap_rows)).astype(jnp.int32)
+    starts = jnp.minimum(starts, jnp.int32(cap_rows))     # bounds safety
+    ops2d = tuple(o.reshape(t_blocks * bs_rows, LANES) for o in srt)
+    outs = _cursor_copy_call(starts, ok, ops2d, cap_rows, bs_rows,
+                             interpret)
+    key_out = outs[0].reshape(-1)[:cap]
+    state = tuple(o.reshape(-1)[:cap] for o in outs[1:])
+    kept_alive = key_out < _DEAD_BIT
+    new_pid = jnp.where(kept_alive, key_out & jnp.int32(0x3FFFFFFF),
+                        jnp.int32(0x3FFFFFFF))
+    total_live = jnp.sum(live_t)
+    kept_live = jnp.sum(jnp.where(
+        ok > 0,
+        jnp.minimum(live_t,
+                    jnp.maximum(jnp.int32(cap_rows) - starts, 0) * LANES),
+        0))
+    return state, new_pid, total_live - kept_live, kept_live
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _compact_ad(children, pid, cap: int):
     """_compact for the differentiable wavefront: same primal, but the
@@ -757,12 +872,13 @@ _unstripe.defvjp(_unstripe_fwd, _unstripe_bwd)
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "chunk_rays", "capacity_factor", "eager_sort", "interpret",
-    "count", "ad", "streams", "shard_stride"))
+    "count", "ad", "streams", "shard_stride", "compact_mode"))
 def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                            capacity_factor: int, eager_sort: bool,
                            interpret: bool, offset=0, count=None,
                            ad: bool = False, streams: int = 1,
-                           shard_stride: int = 1):
+                           shard_stride: int = 1,
+                           compact_mode: str = "global"):
     n_spheres = scene.spheres.pos.shape[0]
     n_lights = scene.lights.pos.shape[0]
     scene_tbl, lights_tbl, bg_tbl = _scene_tables(scene)
@@ -836,9 +952,13 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
         # slot ids are sorted only when they came out of _compact (the
         # no-sort branch interleaves [refraction | reflection] blocks
         # tile-wise); sorted levels take the segmented-reduction
-        # accumulator.
+        # accumulator.  seg_extra: block-local compaction leaves <= LANES
+        # dead fillers per block seam, each splitting at most one pid run
+        # and adding one zero-valued boundary — widen the segsum prefix
+        # accordingly (exact: split runs scatter-add to the same pixel).
         sid = slot
         sid_sorted = False
+        seg_extra = 0
         # Every ray of this chunk — at EVERY level — maps to one of the
         # chunk's ws slots [w0, w0+ws), so all levels accumulate into a
         # ws-sized WINDOW and the big slot accumulator is touched once
@@ -875,7 +995,7 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 # ids stay huge (sid 0x3FFFFFFF) and clamp onto zero
                 # values — exact.
                 accw = _segsum_scatter(accw, em, sid - w0, ws,
-                                       min(ws, sid.shape[0]),
+                                       min(ws + seg_extra, sid.shape[0]),
                                        max_run=spp * 2 ** level)
             else:
                 # Unsorted fallback (eager_sort off while children fit
@@ -892,8 +1012,14 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 sid_sorted = False
             else:
                 keep = min(2 * r, cap)
-                compact = _compact_ad if ad else _compact
-                state, sid, ndrop, _ = compact(children, sid2, keep)
+                if ad:
+                    state, sid, ndrop, _ = _compact_ad(children, sid2, keep)
+                elif compact_mode == "blocked":
+                    state, sid, ndrop, _ = _compact_blocked(
+                        children, sid2, keep, interpret)
+                    seg_extra = 2 * ((2 * r) // (2 * WF_BLOCK)) + 1
+                else:
+                    state, sid, ndrop, _ = _compact(children, sid2, keep)
                 sid_sorted = True
                 dropped = dropped + ndrop
         # Fold the window into the slot accumulator: one ws-slice
@@ -946,7 +1072,8 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
                             interpret: bool = False,
                             return_info: bool = False,
                             offset=0, count=None, ad: bool = False,
-                            streams: int = 1, shard_stride: int = 1):
+                            streams: int = 1, shard_stride: int = 1,
+                            compact_mode: str = "auto"):
     """Wavefront render of the `count` frame pixels
     {offset + j*shard_stride : j < count} -> (count, 3) linear colour
     (the full frame by default; `shard_stride` = mesh size + offset =
@@ -979,17 +1106,35 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     `eager_sort` compacts at EVERY spawn level (even when the children fit
     capacity): the dead-last sort concentrates live rays so whole kernel
     tiles early-exit; with it off, under-capacity levels skip the sort and
-    are bit-identical to an unsorted wavefront.  `offset`/`count` select a
+    are bit-identical to an unsorted wavefront.
+    `compact_mode`: "blocked" sorts each tile's children independently
+    (batched co-sort) and concatenates live prefixes with a cursor-copy
+    kernel (_compact_blocked) — same per-pixel sums up to FP
+    reassociation and exact drop accounting, with <= 128 zero-state
+    filler rays per block seam eating capacity; "global" runs the
+    full-length 11-operand co-sort.  "auto" (default) picks blocked for
+    forward renders — measured 2.87-2.80 s vs 2.97 at the round-4
+    global frontier, and it reverses the chunk-size preference (512K-1M
+    chunks now fastest; the global sort's O(n log^2 n) was what made
+    small chunks win) — and global for ad=True, whose custom backward
+    needs the global inverse permutation (BASELINE.md round-5 studies).  `offset`/`count` select a
     contiguous pixel window — the per-shard form for render_sharded
     (offset may be a traced scalar; count must be static).  With
     `return_info`, also returns {'dropped': <int32 device scalar>} — live
     rays past capacity (0 on every BASELINE config at the default factor);
     it stays a device scalar so the call works under jit/shard_map —
     int() it outside jit before serializing."""
+    if compact_mode == "auto":
+        compact_mode = "global" if ad else "blocked"
+    if ad and compact_mode == "blocked":
+        raise ValueError("compact_mode='blocked' is forward-only (the AD "
+                         "backward needs the global inverse permutation); "
+                         "use 'global' or 'auto'")
     img, dropped = _render_wavefront_impl(
         scene, cfg, chunk_rays=chunk_rays, capacity_factor=capacity_factor,
         eager_sort=eager_sort, interpret=interpret, offset=offset,
-        count=count, ad=ad, streams=streams, shard_stride=shard_stride)
+        count=count, ad=ad, streams=streams, shard_stride=shard_stride,
+        compact_mode=compact_mode)
     if return_info:
         # `dropped` stays a device scalar so return_info works under
         # jit/shard_map (int() would force concretization there).

@@ -63,30 +63,43 @@ def resolve_backend(backend: str = "auto", scene=None,
     return backend
 
 
-# Auto-capacity ladder for the wavefront backend (VERDICT r4 next-step 2):
-# start at the measured config-5 zero-drop frontier (128K-ray chunks x
-# capacity 0.875 -> 2.94 s, BASELINE.md round-4 studies) and escalate on
+# Auto-capacity ladders for the wavefront backend (VERDICT r4 next-step
+# 2): start at the measured config-5 zero-drop frontier and escalate on
 # any drop — rendering is stateless, so the retry is exact.  The frontier
-# is scene-dependent (seed-0 needs 1.125 where seed-3 runs 0.875), which
-# is why the aggressive default is safe ONLY with the drop-triggered
-# retry; 4.0 is the "any scene" backstop (2.0, the old safe default,
-# has never dropped on a measured scene).  An explicit capacity_factor in
-# wf_opts disables the ladder (single attempt, user owns the tradeoff).
-WF_AUTO_CHUNK = 1 << 17
-WF_AUTO_LADDER = (0.875, 1.25, 2.0, 4.0)
+# is scene-dependent (the seed-0 bench scene needs the second rung where
+# seed-3 runs the first), which is why the aggressive default is safe
+# ONLY with the drop-triggered retry; 4.0 is the "any scene" backstop
+# (2.0, the old safe default, has never dropped on a measured scene).
+# An explicit capacity_factor in wf_opts disables the ladder (single
+# attempt, user owns the tradeoff).
+#
+# Forward renders default to BLOCK-LOCAL compaction (round 5), whose
+# frontier is 512K-ray chunks x 0.9375 (2.80 s config-5 d6; the seam
+# fillers cost one capacity notch but the batched per-tile sort beats the
+# global co-sort by ~13-21% at equal settings, BASELINE.md round-5
+# studies).  The TRAINING ladder keeps the global-compaction frontier
+# (128K x 0.875 -> 11.1 s/step) — the AD path's custom backward needs the
+# global permutation.
+WF_AUTO_CHUNK = 1 << 19
+WF_AUTO_LADDER = (0.9375, 1.25, 2.0, 4.0)
+WF_AUTO_CHUNK_TRAIN = 1 << 17
+WF_AUTO_LADDER_TRAIN = (0.875, 1.25, 2.0, 4.0)
 
 
-def _wf_auto_trials(wf_opts: dict | None):
+def _wf_auto_trials(wf_opts: dict | None, train: bool = False):
     """Resolve wavefront tuning to a list of option dicts to try in order.
 
     No explicit capacity_factor -> the auto ladder (tuned-frontier first,
     escalating on drops); explicit capacity_factor -> exactly that, one
-    attempt."""
+    attempt.  `train` picks the AD-path frontier (global compaction,
+    smaller chunks)."""
     o = dict(wf_opts or {})
     if "capacity_factor" in o:
         return [o]
-    o.setdefault("chunk_rays", WF_AUTO_CHUNK)
-    return [dict(o, capacity_factor=c) for c in WF_AUTO_LADDER]
+    o.setdefault("chunk_rays",
+                 WF_AUTO_CHUNK_TRAIN if train else WF_AUTO_CHUNK)
+    ladder = WF_AUTO_LADDER_TRAIN if train else WF_AUTO_LADDER
+    return [dict(o, capacity_factor=c) for c in ladder]
 
 
 def _warn_escalate(n: int, tried: dict, nxt: dict):

@@ -68,15 +68,15 @@ def main():
             try:
                 from raytpu.kernels.wavefront import render_image_wavefront
 
-                # The round-4 zero-drop frontier for THIS scene (seed-0
-                # 4-light: 128K x 1.125; the bench.py seed-3 scene runs
-                # 0.875 — capacity is scene-dependent, tools/wf_frontier.py
-                # --seed 0) — drops are counted and reported, keeping it
-                # honest.
+                # Round-5 blocked-compaction frontier for THIS scene
+                # (seed-0 4-light needs the 1.25 rung where the bench.py
+                # seed-3 scene runs 0.9375 — capacity is scene-dependent,
+                # tools/compact_ab.py --seed 0) — drops are counted and
+                # reported, keeping it honest.
                 def _wf():
                     img, info = render_image_wavefront(
-                        scene, cfg, chunk_rays=1 << 17,
-                        capacity_factor=1.125, return_info=True)
+                        scene, cfg, chunk_rays=1 << 19,
+                        capacity_factor=1.25, return_info=True)
                     return float(jnp.sum(img)), int(info["dropped"])
 
                 drops = _wf()[1]
