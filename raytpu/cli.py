@@ -68,13 +68,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "pallas)")
     p.add_argument("--chunk-rays", type=int, default=None,
                    help="wavefront backend: camera rays per scan chunk "
-                        "(bounds live memory; default 256K)")
+                        "(bounds live memory; default: the auto ladder's "
+                        "tuned 512K)")
     p.add_argument("--capacity-factor", type=float, default=None,
                    help="wavefront backend: per-level live-ray capacity as "
-                        "a multiple of chunk-rays (default 2.0; live rays "
-                        "past it are dropped, counted, and reported — a "
-                        "warning by default, 'dropped' in the --time JSON, "
-                        "an error under --strict-drops)")
+                        "a multiple of chunk-rays.  Default: the AUTO "
+                        "ladder — tuned zero-drop frontier first, "
+                        "escalate + re-render on any drop.  An explicit "
+                        "value disables the ladder; live rays past it are "
+                        "dropped, counted, and reported — a warning by "
+                        "default, 'dropped' in the --time JSON, an error "
+                        "under --strict-drops)")
     p.add_argument("--strict-drops", action="store_true",
                    help="exit with an error if the wavefront drops any "
                         "live rays (capacity overflow) instead of warning")

@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--capacity-factor", type=float, default=1.5)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--compact", default="global",
+                    choices=["global", "blocked"],
+                    help="compaction form to attribute (round 5: blocked "
+                         "is the shipped forward default)")
     args = ap.parse_args()
 
     import jax
@@ -96,6 +100,7 @@ def main():
                  zero + wf.f32(-1.0))
         w0 = start // spp
         accw = None
+        seg_extra = 0
         for level in range(cfg.max_depth + 1):
             spawn = level < cfg.max_depth
             em, children = wf._wf_level_call(
@@ -104,14 +109,20 @@ def main():
                 accw = tuple(x.reshape(ws, spp).sum(axis=1) for x in em)
             else:
                 accw = wf._segsum_scatter(accw, em, pid - w0, ws,
-                                          min(ws, pid.shape[0]),
+                                          min(ws + seg_extra,
+                                              pid.shape[0]),
                                           max_run=spp * 2 ** level)
             if not spawn:
                 break
             r = state[0].shape[0]
             pid2 = wf._dup_tilewise(pid, r // wf.WF_BLOCK)
             keep = min(2 * r, cap)
-            state, pid, _, _ = wf._compact(children, pid2, keep)
+            if args.compact == "blocked":
+                state, pid, _, _ = wf._compact_blocked(children, pid2,
+                                                       keep, interpret)
+                seg_extra = 2 * ((2 * r) // (2 * wf.WF_BLOCK)) + 1
+            else:
+                state, pid, _, _ = wf._compact(children, pid2, keep)
         acc = tuple(
             jax.lax.dynamic_update_slice(
                 a, jax.lax.dynamic_slice(a, (w0,), (ws,)) + w, (w0,))

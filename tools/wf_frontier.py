@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--num-lights", type=int, default=None,
                     help="override the scene's light count (bench_all's "
                          "config-5 scene uses 4 with the default seed)")
+    ap.add_argument("--compact", default="auto",
+                    choices=["auto", "global", "blocked"],
+                    help="compaction mode (round 5: auto resolves to "
+                         "blocked for forward probes; blocked's zero-drop "
+                         "frontier sits one capacity notch above global's "
+                         "— seam fillers)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +60,7 @@ def main():
         def fn():
             img, info = render_pixels_wavefront(
                 scene, cfg, chunk_rays=chunk, capacity_factor=cap,
-                return_info=True)
+                compact_mode=args.compact, return_info=True)
             return float(jnp.sum(img)), int(info["dropped"])
 
         t0 = time.perf_counter()
