@@ -144,7 +144,8 @@ def loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
                             chunk_rays: int = 1 << 17,
                             capacity_factor: float = 2.0,
                             on_drop: str = "raise",
-                            return_info: bool = False):
+                            return_info: bool = False,
+                            compact_mode: str = "auto"):
     """Loss + gradients via the differentiable wavefront tracer — the
     large-scene/deep-depth training path (per-level custom-VJP kernels;
     no sphere-count cap from one-hot unrolls, dead subtrees skipped at
@@ -169,7 +170,8 @@ def loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
 
     interpret = jax.default_backend() != "tpu"
     (loss, dropped), grads = _loss_and_grad_wavefront(
-        scene, cfg, target_flat, interpret, chunk_rays, capacity_factor)
+        scene, cfg, target_flat, interpret, chunk_rays, capacity_factor,
+        compact_mode)
     n = _report_drops(dropped, on_drop)
     if return_info:
         return loss, grads, dict(dropped=n)
@@ -178,16 +180,18 @@ def loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret",
                                              "chunk_rays",
-                                             "capacity_factor"))
+                                             "capacity_factor",
+                                             "compact_mode"))
 def _loss_and_grad_wavefront(scene, cfg: RenderConfig, target_flat,
                              interpret, chunk_rays,
-                             capacity_factor=2.0):
+                             capacity_factor=2.0, compact_mode="auto"):
     from raytpu.kernels.wavefront import render_pixels_wavefront
 
     def loss(s):
         img, info = render_pixels_wavefront(s, cfg, chunk_rays=chunk_rays,
                                             capacity_factor=capacity_factor,
                                             interpret=interpret, ad=True,
+                                            compact_mode=compact_mode,
                                             return_info=True)
         err = img - target_flat
         # The drop counter rides value_and_grad as aux so no AD caller

@@ -588,6 +588,133 @@ def _compact_blocked(children, pid, cap: int, interpret: bool = False):
     return state, new_pid, total_live - kept_live, kept_live
 
 
+def _make_inverse_cursor_kernel(n_ops: int, bs_rows: int):
+    """Transpose of the cursor copy: block t reads the full cotangent
+    array at its own dynamic start and keeps only its COMMITTED rows
+    (rows >= live_rows[t] in the window belong to the next block's
+    overwrite, rows of skipped blocks to nobody — both zeroed)."""
+
+    def kernel(starts_ref, ok_ref, liverows_ref, *refs):
+        in_refs = refs[:n_ops]
+        out_refs = refs[n_ops:]
+        t = pl.program_id(0)
+        s = starts_ref[t]
+        lr = liverows_ref[t]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bs_rows, LANES), 0)
+        committed = (rows < lr) & (ok_ref[t] > 0)
+        for i, o in zip(in_refs, out_refs):
+            o[:] = jnp.where(committed, i[pl.ds(s, bs_rows), :], f32(0.0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bs_rows", "interpret"))
+def _inverse_cursor_call(starts, ok, live_rows, cots, bs_rows: int,
+                         interpret: bool):
+    """cots: tuple of (cap_rows + bs_rows, LANES) cotangent arrays ->
+    (T * bs_rows, LANES) per-block sorted-position cotangents."""
+    n_ops = len(cots)
+    t_blocks = starts.shape[0]
+    full = pl.BlockSpec(cots[0].shape, lambda t: (0, 0),
+                        memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((bs_rows, LANES), lambda t: (t, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_inverse_cursor_kernel(n_ops, bs_rows),
+        grid=(t_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+                  + [full] * n_ops),
+        out_specs=tuple([blk] * n_ops),
+        out_shape=tuple([jax.ShapeDtypeStruct((t_blocks * bs_rows, LANES),
+                                              jnp.float32)] * n_ops),
+        interpret=interpret,
+    )(starts, ok, live_rows, *cots)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _compact_blocked_ad(children, pid, cap: int, interpret: bool):
+    """_compact_blocked with a custom VJP (round 5): the forward's
+    permutation is (per-block sort, cursor placement); the backward
+    applies its inverse as (inverse cursor read, batched per-block
+    co-sort by the saved local permutation) — never XLA's sort-VJP
+    (the _compact_ad lesson: its per-field gathers run ~0.6 GB/s).
+    Semantics match _compact_ad's: kept cotangents travel back to the
+    original child positions; dropped/overwritten children get exact
+    zeros (their primal contribution was zero or sliced away)."""
+    return _compact_blocked(children, pid, cap, interpret)
+
+
+def _compact_blocked_ad_fwd(children, pid, cap: int, interpret: bool):
+    r2 = children[0].shape[0]
+    rows = r2 // LANES
+    bs_rows = 2 * WF_BLOCK_ROWS
+    if rows % bs_rows or rows // bs_rows <= 1 or cap % LANES:
+        out, res = _compact_ad_fwd(children, pid, cap)
+        return out, (None, res)
+    t_blocks = rows // bs_rows
+    bs = bs_rows * LANES
+    ir, ig, ib = children[6], children[7], children[8]
+    alive = (ir != 0) | (ig != 0) | (ib != 0)
+    key = jnp.where(alive, jnp.int32(0), _DEAD_BIT) | pid
+    iota = jax.lax.broadcasted_iota(jnp.int32, (t_blocks, bs), 1)
+    batched = tuple(o.reshape(t_blocks, bs) for o in (key,) + children)
+    srt = jax.lax.sort(batched + (iota,), num_keys=1, is_stable=False)
+    perm = srt[-1]                       # sorted pos -> block-local index
+    live_t = jnp.sum((srt[0] < _DEAD_BIT).astype(jnp.int32), axis=1)
+    live_rows = -(-live_t // LANES)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(live_rows)[:-1]])
+    cap_rows = cap // LANES
+    ok = (starts <= jnp.int32(cap_rows)).astype(jnp.int32)
+    starts = jnp.minimum(starts, jnp.int32(cap_rows))
+    ops2d = tuple(o.reshape(t_blocks * bs_rows, LANES) for o in srt[:-1])
+    outs = _cursor_copy_call(starts, ok, ops2d, cap_rows, bs_rows,
+                             interpret)
+    key_out = outs[0].reshape(-1)[:cap]
+    state = tuple(o.reshape(-1)[:cap] for o in outs[1:])
+    kept_alive = key_out < _DEAD_BIT
+    new_pid = jnp.where(kept_alive, key_out & jnp.int32(0x3FFFFFFF),
+                        jnp.int32(0x3FFFFFFF))
+    total_live = jnp.sum(live_t)
+    kept_live = jnp.sum(jnp.where(
+        ok > 0,
+        jnp.minimum(live_t,
+                    jnp.maximum(jnp.int32(cap_rows) - starts, 0) * LANES),
+        0))
+    out = (state, new_pid, total_live - kept_live, kept_live)
+    return out, ((perm, starts, ok, live_rows, bs_rows), None)
+
+
+def _compact_blocked_ad_bwd(cap: int, interpret: bool, res, cts):
+    blocked_res, global_res = res
+    if blocked_res is None:
+        return _compact_ad_bwd(cap, global_res, cts)
+    perm, starts, ok, live_rows, bs_rows = blocked_res
+    d_state = cts[0]                     # 10 float arrays, length cap
+    t_blocks, bs = perm.shape
+    cap_rows = cap // LANES
+    pad_rows = cap_rows + bs_rows
+    padded = tuple(
+        jnp.concatenate([d, jnp.zeros((pad_rows * LANES - cap,), d.dtype)])
+        .reshape(pad_rows, LANES) for d in d_state)
+    # Committed rows back to per-block sorted positions...
+    cots = _inverse_cursor_call(starts, ok, live_rows, padded, bs_rows,
+                                interpret)
+    # ...then each block's inverse sort: co-sort by the forward's local
+    # permutation (distinct within a block, so the unstable batched sort
+    # is the exact inverse).
+    cots2d = tuple(c.reshape(t_blocks, bs) for c in cots)
+    inv = jax.lax.sort((perm,) + cots2d, num_keys=1, is_stable=False)
+    d_children = tuple(o.reshape(-1) for o in inv[1:])
+    d_pid = np.zeros((t_blocks * bs,), jax.dtypes.float0)
+    return d_children, d_pid
+
+
+_compact_blocked_ad.defvjp(_compact_blocked_ad_fwd, _compact_blocked_ad_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _compact_ad(children, pid, cap: int):
     """_compact for the differentiable wavefront: same primal, but the
@@ -1012,12 +1139,16 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 sid_sorted = False
             else:
                 keep = min(2 * r, cap)
-                if ad:
-                    state, sid, ndrop, _ = _compact_ad(children, sid2, keep)
-                elif compact_mode == "blocked":
-                    state, sid, ndrop, _ = _compact_blocked(
-                        children, sid2, keep, interpret)
+                if compact_mode == "blocked":
+                    if ad:
+                        state, sid, ndrop, _ = _compact_blocked_ad(
+                            children, sid2, keep, interpret)
+                    else:
+                        state, sid, ndrop, _ = _compact_blocked(
+                            children, sid2, keep, interpret)
                     seg_extra = 2 * ((2 * r) // (2 * WF_BLOCK)) + 1
+                elif ad:
+                    state, sid, ndrop, _ = _compact_ad(children, sid2, keep)
                 else:
                     state, sid, ndrop, _ = _compact(children, sid2, keep)
                 sid_sorted = True
@@ -1116,20 +1247,21 @@ def render_pixels_wavefront(scene, cfg: RenderConfig,
     forward renders — measured 2.87-2.80 s vs 2.97 at the round-4
     global frontier, and it reverses the chunk-size preference (512K-1M
     chunks now fastest; the global sort's O(n log^2 n) was what made
-    small chunks win) — and global for ad=True, whose custom backward
-    needs the global inverse permutation (BASELINE.md round-5 studies).  `offset`/`count` select a
+    small chunks win) — and global for ad=True (BASELINE.md round-5
+    studies).  ad=True + "blocked" runs _compact_blocked_ad, whose
+    custom backward inverts (per-block sort, cursor placement) with an
+    inverse-cursor kernel + batched co-sorts.  `offset`/`count` select a
     contiguous pixel window — the per-shard form for render_sharded
     (offset may be a traced scalar; count must be static).  With
     `return_info`, also returns {'dropped': <int32 device scalar>} — live
     rays past capacity (0 on every BASELINE config at the default factor);
     it stays a device scalar so the call works under jit/shard_map —
     int() it outside jit before serializing."""
+    # "auto" = blocked everywhere since the AD A/B (BASELINE.md round-5:
+    # blocked 512K x 0.9375 trains 9.96 s/step vs the tuned global's
+    # 10.71; forward 2.80 vs 2.97 s).
     if compact_mode == "auto":
-        compact_mode = "global" if ad else "blocked"
-    if ad and compact_mode == "blocked":
-        raise ValueError("compact_mode='blocked' is forward-only (the AD "
-                         "backward needs the global inverse permutation); "
-                         "use 'global' or 'auto'")
+        compact_mode = "blocked"
     img, dropped = _render_wavefront_impl(
         scene, cfg, chunk_rays=chunk_rays, capacity_factor=capacity_factor,
         eager_sort=eager_sort, interpret=interpret, offset=offset,

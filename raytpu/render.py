@@ -73,17 +73,19 @@ def resolve_backend(backend: str = "auto", scene=None,
 # An explicit capacity_factor in wf_opts disables the ladder (single
 # attempt, user owns the tradeoff).
 #
-# Forward renders default to BLOCK-LOCAL compaction (round 5), whose
-# frontier is 512K-ray chunks x 0.9375 (2.80 s config-5 d6; the seam
-# fillers cost one capacity notch but the batched per-tile sort beats the
-# global co-sort by ~13-21% at equal settings, BASELINE.md round-5
-# studies).  The TRAINING ladder keeps the global-compaction frontier
-# (128K x 0.875 -> 11.1 s/step) — the AD path's custom backward needs the
-# global permutation.
+# BLOCK-LOCAL compaction is the default everywhere since round 5 (the
+# AD path got its own blocked VJP — inverse-cursor kernel + batched
+# co-sorts): the frontier is 512K-ray chunks x 0.9375 for both forward
+# (2.80 s config-5 d6) and training (9.96 s/step vs the tuned global's
+# 10.71; the seam fillers cost one capacity notch but the batched
+# per-tile sorts beat the global co-sort at every equal setting,
+# BASELINE.md round-5 studies).  The TRAIN constants exist so the two
+# ladders can diverge again if a future tuning splits them; they are
+# currently equal by measurement.
 WF_AUTO_CHUNK = 1 << 19
 WF_AUTO_LADDER = (0.9375, 1.25, 2.0, 4.0)
-WF_AUTO_CHUNK_TRAIN = 1 << 17
-WF_AUTO_LADDER_TRAIN = (0.875, 1.25, 2.0, 4.0)
+WF_AUTO_CHUNK_TRAIN = 1 << 19
+WF_AUTO_LADDER_TRAIN = (0.9375, 1.25, 2.0, 4.0)
 
 
 def _wf_auto_trials(wf_opts: dict | None, train: bool = False):

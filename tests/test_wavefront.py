@@ -127,6 +127,35 @@ def test_blocked_compaction_matches_global():
     assert d.mean() < 1e-4 * scale
 
 
+def test_blocked_compaction_grads_match_global():
+    # _compact_blocked_ad: the custom backward inverts (per-block sort,
+    # cursor placement) via the inverse-cursor kernel + batched co-sorts.
+    # Gradients must match the global-co-sort AD path up to FP
+    # reassociation (seam-filler cotangents route to dead children whose
+    # downstream derivatives are zero — same argument as _compact_ad's
+    # dead-tail handling).  Frame sized so compaction sees >= 2 blocks.
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from raytpu.grad import loss_and_grad_wavefront
+
+    cfg = RenderConfig(width=128, height=128, max_depth=2, alias_factor=1)
+    scene = random_scene(12, num_lights=2, seed=7)
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    lg, gg = loss_and_grad_wavefront(scene, cfg, target, chunk_rays=8192,
+                                     capacity_factor=2.0,
+                                     compact_mode="global")
+    lb, gb = loss_and_grad_wavefront(scene, cfg, target, chunk_rays=8192,
+                                     capacity_factor=2.0,
+                                     compact_mode="blocked")
+    np.testing.assert_allclose(float(lg), float(lb), rtol=1e-5)
+    for (pa, a), (_, b) in zip(jtu.tree_leaves_with_path(gb),
+                               jtu.tree_leaves_with_path(gg)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(b).max()), 1e-12)
+        assert np.abs(a - b).max() <= 2e-3 * scale, jtu.keystr(pa)
+
+
 def test_blocked_compaction_counts_drops():
     # Row-granular capacity enforcement still counts every lost live ray
     # (the overflow scene from test_wavefront_counts_dropped_rays).

@@ -103,8 +103,8 @@ def main():
                 # reports it — a nonzero here disqualifies the tuning.
                 def _step():
                     loss, _g, info = loss_and_grad_wavefront(
-                        scene, cfg, target, chunk_rays=1 << 17,
-                        capacity_factor=1.125, on_drop="ignore",
+                        scene, cfg, target, chunk_rays=1 << 19,
+                        capacity_factor=1.25, on_drop="ignore",
                         return_info=True)
                     return float(loss), info["dropped"]
 

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--points", nargs="+",
                     default=["131072:1.0", "131072:0.875"])
     ap.add_argument("--iters", type=int, default=1)
+    ap.add_argument("--compact", default="auto",
+                    choices=["auto", "global", "blocked"],
+                    help="AD compaction: blocked = _compact_blocked_ad "
+                         "(round 5); auto resolves to global for AD")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -48,7 +52,8 @@ def main():
             # count is REPORTED so only zero-drop points become tunings.
             loss, g, info = loss_and_grad_wavefront(
                 scene, cfg, target, chunk_rays=chunk, capacity_factor=cap,
-                on_drop="ignore", return_info=True)
+                on_drop="ignore", return_info=True,
+                compact_mode=args.compact)
             # Device->host scalar fetch: the only reliable barrier here.
             gs = sum(float(jnp.sum(jnp.abs(x)))
                      for x in jax.tree_util.tree_leaves(g))
@@ -64,6 +69,7 @@ def main():
             loss, gs, dropped = fn()
             ts.append(time.perf_counter() - t0)
         print(json.dumps({"chunk": chunk, "cap": cap,
+                          "compact": args.compact,
                           "step_s": round(min(ts), 2),
                           "compile_s": round(t_compile, 1),
                           "loss": loss, "gsum": gs,
