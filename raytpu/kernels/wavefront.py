@@ -851,9 +851,10 @@ def _scatter_window(acc, em, start, npix: int):
     return tuple(outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
-                    max_run: int = 0):
+                    max_run: int = 0, blocked: bool = False,
+                    interpret: bool = False):
     """acc[c][pid] += em[c] for PID-SORTED rays, via exact segmented
     pre-reduction: one level's rays cover at most `prefix` distinct pixels
     (pixel-major chunks: chunk // samples_per_pixel), so summing each
@@ -929,6 +930,38 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
     # when live runs < prefix, the kept slice reaches into them, and the
     # npix-1 clamp would add their partial sums to the last pixel.
     bs = tuple(jnp.where(last, x, f32(0.0)) for x in e)
+    rows = r // LANES
+    if blocked and rows % WF_BLOCK_ROWS == 0 and rows // WF_BLOCK_ROWS > 1:
+        # Blocked boundary compaction (round 5, same scheme as
+        # _compact_blocked): sort 8192-element blocks batched and
+        # concatenate their boundary prefixes with the cursor-copy
+        # kernel.  Boundaries stay globally key-ascending across blocks
+        # (pid-sorted input); fillers are exact zeros with dead keys
+        # (clamped to npix-1, adding zero) — so the scatter result is
+        # identical up to reassociation.  Never drops: the output holds
+        # prefix + one row per block, an upper bound on boundaries +
+        # fillers.  indices_are_sorted=False: interior fillers clamp to
+        # npix-1, breaking the ascending property the global sort had.
+        bse = WF_BLOCK_ROWS * LANES
+        tb = r // bse
+        srt = jax.lax.sort(
+            (key.reshape(tb, bse),) + tuple(x.reshape(tb, bse)
+                                            for x in bs),
+            num_keys=1, is_stable=False)
+        nb = jnp.sum((srt[0] < (jnp.int32(1) << 30)).astype(jnp.int32),
+                     axis=1)
+        live_rows = -(-nb // LANES)
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(live_rows)[:-1]])
+        out_rows = -(-prefix // LANES) + tb
+        ops2d = tuple(o.reshape(tb * WF_BLOCK_ROWS, LANES) for o in srt)
+        outs = _cursor_copy_call(starts, jnp.ones((tb,), jnp.int32),
+                                 ops2d, out_rows, WF_BLOCK_ROWS,
+                                 interpret)
+        p2 = out_rows * LANES
+        kp = jnp.minimum(outs[0].reshape(-1)[:p2], jnp.int32(npix - 1))
+        return tuple(a.at[kp].add(x.reshape(-1)[:p2])
+                     for a, x in zip(acc, outs[1:]))
     srt = jax.lax.sort((key,) + bs, num_keys=1, is_stable=False)
     kp = jnp.minimum(srt[0][:prefix], jnp.int32(npix - 1))
     return tuple(a.at[kp].add(x[:prefix], indices_are_sorted=True)
@@ -936,11 +969,17 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
 
 
 def _segsum_scatter_fwd(acc, em, pid, npix: int, prefix: int,
-                        max_run: int = 0):
-    return _segsum_scatter(acc, em, pid, npix, prefix, max_run), (pid,)
+                        max_run: int = 0, blocked: bool = False,
+                        interpret: bool = False):
+    return (_segsum_scatter(acc, em, pid, npix, prefix, max_run, blocked,
+                            interpret), (pid,))
 
 
-def _segsum_scatter_bwd(npix: int, prefix: int, max_run: int, res, d_acc):
+def _segsum_scatter_bwd(npix: int, prefix: int, max_run: int,
+                        blocked: bool, interpret: bool, res, d_acc):
+    # The transpose d_em[i] = d_acc[pid[i]] is independent of HOW the
+    # forward compacted the boundaries (global or blocked sort): the map
+    # em -> acc is the same linear function either way.
     (pid,) = res
     safe = jnp.minimum(pid, jnp.int32(npix - 1))
     d_em = tuple(d[safe] for d in d_acc)
@@ -1123,7 +1162,9 @@ def _render_wavefront_impl(scene, cfg: RenderConfig, chunk_rays: int,
                 # values — exact.
                 accw = _segsum_scatter(accw, em, sid - w0, ws,
                                        min(ws + seg_extra, sid.shape[0]),
-                                       max_run=spp * 2 ** level)
+                                       spp * 2 ** level,
+                                       compact_mode == "blocked",
+                                       interpret)
             else:
                 # Unsorted fallback (eager_sort off while children fit
                 # capacity): plain scatter, bit-identical to an unsorted

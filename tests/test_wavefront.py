@@ -322,6 +322,38 @@ def test_interleaved_sharded_wavefront_grads_match_block():
         assert np.abs(a - b).max() <= 2e-3 * scale, jtu.keystr(pa)
 
 
+def test_segsum_scatter_blocked_matches_global():
+    """The blocked boundary compaction inside _segsum_scatter (per-block
+    batched sort + cursor-copy concatenation) must produce the same
+    per-pixel totals as the global-sort form — fillers carry dead keys
+    and zero values.  r large enough for >= 2 blocks (2 x 8192)."""
+    import jax.numpy as jnp
+
+    from raytpu.kernels.wavefront import _segsum_scatter
+
+    rng = np.random.default_rng(11)
+    r, npix, max_run = 16384, 512, 16
+    ids = []
+    p = 0
+    while len(ids) < r - 500 and p < npix:
+        ids.extend([p] * int(rng.integers(1, max_run + 1)))
+        p += int(rng.integers(1, 3))
+    ids = ids[: r - 500] + [0x3FFFFFFF] * (r - len(ids[: r - 500]))
+    pid = jnp.asarray(np.asarray(ids, np.int32))
+    em = tuple(
+        jnp.asarray(np.where(np.asarray(ids) < npix,
+                             rng.normal(size=r), 0.0).astype(np.float32))
+        for _ in range(3))
+    acc = tuple(jnp.asarray(rng.normal(size=npix).astype(np.float32))
+                for _ in range(3))
+    want = _segsum_scatter(acc, em, pid, npix, min(npix, r), max_run)
+    got = _segsum_scatter(acc, em, pid, npix, min(npix, r), max_run,
+                          True, True)   # blocked, interpret
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_segsum_debug_mode_catches_overlong_runs():
     # WF_DEBUG sanitizer (ADVICE r4): a run longer than max_run silently
     # under-reduces without it; with it armed the violation raises.
