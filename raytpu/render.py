@@ -36,13 +36,19 @@ from raytpu.parallel.mesh import PIXEL_AXIS, make_mesh
 from raytpu.trace import render_image, render_pixels
 
 
-# Measured crossover (BASELINE.md device-time table, v5e): the wavefront
-# beats the fused dense kernel once dead subtrees dominate — 256 spheres at
-# depth 4 (1.4x) and any large-N depth 6 (4.4-5.5x) — while the dense
-# kernel wins shallow or small scenes (d2 N=256: 104 vs 133 ms; d4 N=64:
-# 356 vs 749 ms).
-_WF_MIN_SPHERES = 128
-_WF_MIN_DEPTH = 4
+# Measured crossover, re-swept in round 5 after blocked compaction moved
+# it (BASELINE.md round-5 crossover study, v5e, 640x480 + 1080p cells):
+# the wavefront now wins whenever the per-ray tree work is non-trivial —
+# N x 2^depth >= ~512 fits every measured cell (N=64 d4: 386 vs 179 ms;
+# N=256 d2: 443 vs 217; N=24 d6: 525 vs 227; N=64 d2: 132 vs 131 tie)
+# — while the dense kernel keeps small scenes (N=3 d4: 36 vs 219;
+# N=16 d4: 75 vs 168).  The round-2 rule (N>=128 AND depth>=4) predated
+# two rounds of wavefront tuning.
+_WF_MIN_WORK = 512          # spheres * 2^depth at the crossover
+
+
+def _wf_wins(n_spheres: int, depth: int) -> bool:
+    return n_spheres * (2 ** depth) >= _WF_MIN_WORK
 
 
 def resolve_backend(backend: str = "auto", scene=None,
@@ -54,8 +60,7 @@ def resolve_backend(backend: str = "auto", scene=None,
         if jax.default_backend() != "tpu":
             return "jnp"
         if (scene is not None and cfg is not None
-                and scene.spheres.pos.shape[0] >= _WF_MIN_SPHERES
-                and cfg.max_depth >= _WF_MIN_DEPTH):
+                and _wf_wins(scene.spheres.pos.shape[0], cfg.max_depth)):
             return "wavefront"
         return "pallas"
     if backend not in ("jnp", "pallas", "wavefront"):

@@ -220,8 +220,9 @@ def test_wavefront_grads_match_dense_kernel():
 
 
 def test_auto_backend_crossover(monkeypatch):
-    # "auto" on TPU picks the wavefront for large deep scenes (the
-    # measured crossover in BASELINE.md) and the dense kernel otherwise;
+    # "auto" on TPU picks the wavefront once per-ray tree work crosses
+    # the measured N x 2^depth boundary (re-swept in round 5 — blocked
+    # compaction moved it well below the old N>=128 & depth>=4 rule);
     # off-TPU it stays jnp.
     import raytpu.render as R
     deep = RenderConfig(width=8, height=8, max_depth=6, alias_factor=1)
@@ -229,9 +230,17 @@ def test_auto_backend_crossover(monkeypatch):
     assert R.resolve_backend("auto", big, deep) == "jnp"  # on CPU
     monkeypatch.setattr(R.jax, "default_backend", lambda: "tpu")
     assert R.resolve_backend("auto", big, deep) == "wavefront"
+    # 3 spheres at depth 6: 192 < 512 — measured dense territory.
     assert R.resolve_backend("auto", default_scene(), deep) == "pallas"
     shallow = RenderConfig(width=8, height=8, max_depth=2, alias_factor=1)
-    assert R.resolve_backend("auto", big, shallow) == "pallas"
+    # 256 x 4 = 1024: the round-5 sweep measured the wavefront 2x faster
+    # here (443 vs 217 ms at 640x480) — was dense under the old rule.
+    assert R.resolve_backend("auto", big, shallow) == "wavefront"
+    mid = random_scene(64)
+    d4 = RenderConfig(width=8, height=8, max_depth=4, alias_factor=1)
+    assert R.resolve_backend("auto", mid, d4) == "wavefront"   # 1024
+    assert R.resolve_backend("auto", mid, shallow) == "pallas"  # 256 tie
+    assert R.resolve_backend("auto", random_scene(16), d4) == "pallas"
     assert R.resolve_backend("auto") == "pallas"  # no scene info
 
 
