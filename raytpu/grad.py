@@ -315,7 +315,7 @@ def loss_and_grad_sharded(scene, cfg: RenderConfig, target_flat, mesh=None,
     import jax as _jax
 
     from raytpu.kernels.trace_pallas import BWD_MAX_SPHERES
-    from raytpu.render import _report_drops
+    from raytpu.render import _report_drops, _wf_wins
 
     if mesh is None:
         mesh = make_mesh()
@@ -326,7 +326,16 @@ def loss_and_grad_sharded(scene, cfg: RenderConfig, target_flat, mesh=None,
     small = scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES
     if backend == "auto":
         if _jax.default_backend() == "tpu":
-            backend = "pallas" if small else "wavefront"
+            # Same work-based crossover as the forward render (round-5
+            # training cells: tie at the boundary, wavefront 2.7x at
+            # N=256 d4 — and the dense one-shot reverse sweep crashes
+            # the worker at 1080p d6, so large-work scenes must not
+            # fall into it even under BWD_MAX_SPHERES).
+            backend = ("wavefront"
+                       if (not small
+                           or _wf_wins(scene.spheres.pos.shape[0],
+                                       cfg.max_depth))
+                       else "pallas")
         else:
             backend = "jnp"
     if backend == "pallas" and not small:
@@ -382,14 +391,22 @@ def fit_scene(scene, cfg: RenderConfig, target_flat, steps: int = 100,
     from raytpu.kernels.trace_pallas import BWD_MAX_SPHERES
     from raytpu.render import _warn_escalate, _wf_auto_trials
 
+    from raytpu.render import _wf_wins
+
     small = scene.spheres.pos.shape[0] <= BWD_MAX_SPHERES
+    # Same work-based crossover as loss_and_grad_sharded's auto (see its
+    # comment — incl. keeping large-work scenes off the dense reverse
+    # sweep that crashes at 1080p d6).
+    wf_auto = (not small
+               or _wf_wins(scene.spheres.pos.shape[0], cfg.max_depth))
     use_pallas = (mesh is None
                   and backend in ("auto", "pallas")
                   and jax.default_backend() == "tpu"
-                  and small)
+                  and small
+                  and not (backend == "auto" and wf_auto))
     use_wavefront = (mesh is None
                      and (backend == "wavefront"
-                          or (backend == "auto" and not small
+                          or (backend == "auto" and wf_auto
                               and jax.default_backend() == "tpu")))
     if backend == "pallas" and mesh is None and not use_pallas:
         raise ValueError("pallas fitting needs a TPU (or a mesh, where "
