@@ -87,10 +87,13 @@ def resolve_backend(backend: str = "auto", scene=None,
 # BASELINE.md round-5 studies).  The TRAIN constants exist so the two
 # ladders can diverge again if a future tuning splits them; they are
 # currently equal by measurement.
+# The 1.0625 rung exists for the seed-0 class of scenes: they overflow
+# 0.9375 but run 2.97 s zero-drop at 1.0625 vs 3.17 at 1.25 (measured,
+# round 5) — one rung's escalation either way, 6% better steady-state.
 WF_AUTO_CHUNK = 1 << 19
-WF_AUTO_LADDER = (0.9375, 1.25, 2.0, 4.0)
+WF_AUTO_LADDER = (0.9375, 1.0625, 1.25, 2.0, 4.0)
 WF_AUTO_CHUNK_TRAIN = 1 << 19
-WF_AUTO_LADDER_TRAIN = (0.9375, 1.25, 2.0, 4.0)
+WF_AUTO_LADDER_TRAIN = (0.9375, 1.0625, 1.25, 2.0, 4.0)
 
 
 def _wf_auto_trials(wf_opts: dict | None, train: bool = False):
