@@ -883,10 +883,15 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
     unspecified anyway, and every wavefront contract is tolerance-based).
 
     Backward: the map em -> acc is linear with transpose d_em[i] =
-    d_acc[pid[i]] — one gather, the SAME op XLA's scatter-add transpose
-    emits — declared via custom_vjp so autodiff never differentiates
-    through the sort (XLA's sort-VJP lowers to ~0.6 GB/s per-field
-    gathers, the round-3 _compact_ad lesson).
+    d_acc[pid[i]].  Since round 5 that gather is NOT materialized
+    full-length (an AD-chunk trace put the r-length per-field gather at
+    ~4.8 ms/level — the known ~0.6 GB/s 1-D gather wall): the forward
+    saves the <= prefix boundary (key, original position) pairs, and the
+    backward gathers d_acc at just those, scatters the values onto the
+    run-LAST positions, and BACKFILLS each run with the same bounded
+    doubling scan the forward uses (see _segsum_scatter_bwd).  Declared
+    via custom_vjp so autodiff never differentiates through the sort
+    (XLA's sort-VJP: the round-3 _compact_ad lesson).
 
     HARD PRECONDITIONS (callers MUST guarantee; violations are silent):
       * pid is sorted ascending with the dead tail at 0x3FFFFFFF, and no
@@ -900,22 +905,26 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
         is zero with zero derivative (the wavefront's compaction-
         exactness lemma).  A caller without that invariant gets silently
         wrong gradients for the tail rays."""
+    return _segsum_scatter_impl(acc, em, pid, npix, prefix, max_run,
+                                blocked, interpret)[0]
+
+
+def _segsum_scatter_impl(acc, em, pid, npix: int, prefix: int,
+                         max_run: int, blocked: bool, interpret: bool):
+    """Shared primal: returns (updated acc, (bkey, bpos)) where
+    bkey/bpos are the compacted boundary keys and their ORIGINAL
+    positions (prefix-length) — the backward's seed set (see
+    _segsum_scatter_bwd: gathering d_acc at the <= prefix boundaries and
+    backfilling runs replaces the r-length per-field gather that an AD
+    chunk trace attributed ~4.8 ms/level to)."""
     r = pid.shape[0]
-    # A run cannot be longer than max_run (callers pass spp * 2^level —
-    # one slot's rays at level L are descendants of its <= spp camera
-    # rays, so <= spp * 2^L even before drops), and the doubling scan
-    # only needs ceil(log2(max_run)) steps to cover it — 5-10 instead of
-    # log2(r) ~ 17 at the shipped chunk size.
     bound = min(max_run, r) if max_run > 0 else r
     steps = max(1, (bound - 1).bit_length())
     idx = jnp.arange(r, dtype=jnp.int32)
     if WF_DEBUG and bound < r:
-        # Sanitizer (see WF_DEBUG): measure the true max LIVE run length
-        # and fail loudly if it exceeds the scan bound.  run-start marker
-        # -> running last-start via cummax -> per-element run length.
         is_start = (idx == 0) | (pid != jnp.roll(pid, 1))
         last_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
-        live = pid < (jnp.int32(1) << 29)     # dead tail excluded
+        live = pid < (jnp.int32(1) << 29)
         runlen = jnp.where(live, idx - last_start + 1, 0)
         jax.debug.callback(_check_max_run, jnp.max(runlen),
                            jnp.int32(bound))
@@ -926,10 +935,9 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
         e = [x + jnp.where(ok, jnp.roll(x, sh), f32(0.0)) for x in e]
     last = (pid != jnp.roll(pid, -1)) | (idx == r - 1)
     key = jnp.where(last, pid, jnp.int32(1) << 30)
-    # Non-boundary values MUST be zeroed (not just keyed to the tail):
-    # when live runs < prefix, the kept slice reaches into them, and the
-    # npix-1 clamp would add their partial sums to the last pixel.
     bs = tuple(jnp.where(last, x, f32(0.0)) for x in e)
+    # Positions ride the boundary compaction as f32 (exact: r < 2^24).
+    pos = idx.astype(f32)
     rows = r // LANES
     if blocked and rows % WF_BLOCK_ROWS == 0 and rows // WF_BLOCK_ROWS > 1:
         # Blocked boundary compaction (round 5, same scheme as
@@ -946,7 +954,8 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
         tb = r // bse
         srt = jax.lax.sort(
             (key.reshape(tb, bse),) + tuple(x.reshape(tb, bse)
-                                            for x in bs),
+                                            for x in bs)
+            + (pos.reshape(tb, bse),),
             num_keys=1, is_stable=False)
         nb = jnp.sum((srt[0] < (jnp.int32(1) << 30)).astype(jnp.int32),
                      axis=1)
@@ -959,32 +968,62 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
                                  ops2d, out_rows, WF_BLOCK_ROWS,
                                  interpret)
         p2 = out_rows * LANES
-        kp = jnp.minimum(outs[0].reshape(-1)[:p2], jnp.int32(npix - 1))
-        return tuple(a.at[kp].add(x.reshape(-1)[:p2])
-                     for a, x in zip(acc, outs[1:]))
-    srt = jax.lax.sort((key,) + bs, num_keys=1, is_stable=False)
-    kp = jnp.minimum(srt[0][:prefix], jnp.int32(npix - 1))
-    return tuple(a.at[kp].add(x[:prefix], indices_are_sorted=True)
-                 for a, x in zip(acc, srt[1:]))
+        bkey = outs[0].reshape(-1)[:p2]
+        bpos = outs[-1].reshape(-1)[:p2].astype(jnp.int32)
+        kp = jnp.minimum(bkey, jnp.int32(npix - 1))
+        return (tuple(a.at[kp].add(x.reshape(-1)[:p2])
+                      for a, x in zip(acc, outs[1:-1])),
+                (bkey, bpos))
+    srt = jax.lax.sort((key,) + bs + (pos,), num_keys=1, is_stable=False)
+    bkey = srt[0][:prefix]
+    bpos = srt[-1][:prefix].astype(jnp.int32)
+    kp = jnp.minimum(bkey, jnp.int32(npix - 1))
+    return (tuple(a.at[kp].add(x[:prefix], indices_are_sorted=True)
+                  for a, x in zip(acc, srt[1:-1])),
+            (bkey, bpos))
 
 
 def _segsum_scatter_fwd(acc, em, pid, npix: int, prefix: int,
                         max_run: int = 0, blocked: bool = False,
                         interpret: bool = False):
-    return (_segsum_scatter(acc, em, pid, npix, prefix, max_run, blocked,
-                            interpret), (pid,))
+    out, (bkey, bpos) = _segsum_scatter_impl(acc, em, pid, npix, prefix,
+                                             max_run, blocked, interpret)
+    return out, (pid, bkey, bpos)
 
 
 def _segsum_scatter_bwd(npix: int, prefix: int, max_run: int,
                         blocked: bool, interpret: bool, res, d_acc):
-    # The transpose d_em[i] = d_acc[pid[i]] is independent of HOW the
-    # forward compacted the boundaries (global or blocked sort): the map
-    # em -> acc is the same linear function either way.
-    (pid,) = res
-    safe = jnp.minimum(pid, jnp.int32(npix - 1))
-    d_em = tuple(d[safe] for d in d_acc)
+    """Transpose d_em[i] = d_acc[pid[i]] WITHOUT the r-length per-field
+    gather (~0.6 GB/s on TPU — an AD-chunk trace put it at ~4.8 ms/level):
+    d_em is piecewise-constant over pid runs, so gather d_acc at just the
+    <= prefix saved boundaries, scatter the values onto the run-LAST
+    positions, and backfill each run right-to-left with the same bounded
+    doubling scan the forward uses.  Entries whose run was never seeded
+    cannot exist under the sortedness precondition (every run's last is a
+    boundary in the prefix); filler/non-boundary prefix slots carry dead
+    keys (>= 2^30) and are dropped.  Dead-run boundaries (pid
+    0x3FFFFFFF) seed d_acc[npix-1] exactly as the old clamped gather did
+    — covered by the identically-zero-emissions precondition."""
+    pid, bkey, bpos = res
+    r = pid.shape[0]
+    ok = bkey < (jnp.int32(1) << 30)
+    safe_k = jnp.minimum(bkey, jnp.int32(npix - 1))
+    pos_safe = jnp.where(ok, bpos, jnp.int32(r))       # OOB -> dropped
+    vals = tuple(d[safe_k] for d in d_acc)             # short gathers
+    seeded = [jnp.zeros((r,), f32).at[pos_safe].set(v, mode="drop")
+              for v in vals]
+    has = jnp.zeros((r,), f32).at[pos_safe].set(f32(1.0), mode="drop")
+    bound = min(max_run, r) if max_run > 0 else r
+    steps = max(1, (bound - 1).bit_length())
+    idx = jnp.arange(r, dtype=jnp.int32)
+    for k in range(steps):
+        sh = 1 << k
+        same = (pid == jnp.roll(pid, -sh)) & (idx < r - sh)
+        adopt = (has == 0) & same
+        seeded = [jnp.where(adopt, jnp.roll(v, -sh), v) for v in seeded]
+        has = jnp.where(adopt, jnp.roll(has, -sh), has)
     d_pid = np.zeros(pid.shape, jax.dtypes.float0)
-    return d_acc, d_em, d_pid
+    return d_acc, tuple(seeded), d_pid
 
 
 _segsum_scatter.defvjp(_segsum_scatter_fwd, _segsum_scatter_bwd)

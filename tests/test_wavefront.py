@@ -535,15 +535,19 @@ def test_segsum_scatter_matches_plain_scatter():
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-5, atol=1e-5)
 
-    # Backward: linear map, transpose is a gather.
+    # Backward: linear map, transpose d_em[i] = d_acc[pid[i]] — realized
+    # since round 5 as boundary-gather + run backfill (no r-length
+    # gather).  LIVE ids must read their channel weight exactly; dead
+    # ids are a documented don't-care (identically-zero emissions): the
+    # backfill reaches max_run from the dead run's end (where it reads
+    # the npix-1 clamp, like the old gather) and leaves the rest zero.
     def f(em_):
         out = _segsum_scatter(acc, em_, pid, npix, min(npix, r), max_run)
         return sum(jnp.sum(o * (i + 1.0)) for i, o in enumerate(out))
 
     g_em = jax.grad(f)(em)
+    dead = np.asarray(ids) >= npix
     for c, g in enumerate(g_em):
-        want_g = np.where(np.asarray(ids) < npix, c + 1.0, 0.0)
-        # Dead ids clamp to npix-1: their cotangent reads channel weight
-        # too — matched by the custom bwd's clamp (their primal em is 0).
-        want_g = np.where(np.asarray(ids) >= npix, c + 1.0, want_g)
-        np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-6)
+        g = np.asarray(g)
+        np.testing.assert_allclose(g[~dead], c + 1.0, rtol=1e-6)
+        assert np.all((g[dead] == 0.0) | np.isclose(g[dead], c + 1.0))

@@ -53,6 +53,13 @@ def main():
                     choices=["global", "blocked"],
                     help="compaction form to attribute (round 5: blocked "
                          "is the shipped forward default)")
+    ap.add_argument("--ad", action="store_true",
+                    help="attribute one TRAINING chunk instead: "
+                         "value_and_grad of the chunk's emission sum "
+                         "w.r.t. the scene tables (per-level custom-VJP "
+                         "kernels + glue transposes — the scan/checkpoint "
+                         "recompute is not included, so a full step is "
+                         "~2x the forward part of this trace plus it)")
     args = ap.parse_args()
 
     import jax
@@ -103,24 +110,37 @@ def main():
         seg_extra = 0
         for level in range(cfg.max_depth + 1):
             spawn = level < cfg.max_depth
-            em, children = wf._wf_level_call(
-                stbl, ltbl, btbl, state, n, n_lights, spawn, interpret)
+            if args.ad:
+                em, ch = wf._wf_level_ad(n, n_lights, spawn, interpret)(
+                    stbl, ltbl, btbl, state)
+                children = ch if spawn else None
+            else:
+                em, children = wf._wf_level_call(
+                    stbl, ltbl, btbl, state, n, n_lights, spawn, interpret)
             if level == 0:
                 accw = tuple(x.reshape(ws, spp).sum(axis=1) for x in em)
             else:
                 accw = wf._segsum_scatter(accw, em, pid - w0, ws,
                                           min(ws + seg_extra,
                                               pid.shape[0]),
-                                          max_run=spp * 2 ** level)
+                                          spp * 2 ** level,
+                                          args.compact == "blocked",
+                                          interpret)
             if not spawn:
                 break
             r = state[0].shape[0]
             pid2 = wf._dup_tilewise(pid, r // wf.WF_BLOCK)
             keep = min(2 * r, cap)
             if args.compact == "blocked":
-                state, pid, _, _ = wf._compact_blocked(children, pid2,
-                                                       keep, interpret)
+                if args.ad:
+                    state, pid, _, _ = wf._compact_blocked_ad(
+                        children, pid2, keep, interpret)
+                else:
+                    state, pid, _, _ = wf._compact_blocked(children, pid2,
+                                                           keep, interpret)
                 seg_extra = 2 * ((2 * r) // (2 * wf.WF_BLOCK)) + 1
+            elif args.ad:
+                state, pid, _, _ = wf._compact_ad(children, pid2, keep)
             else:
                 state, pid, _, _ = wf._compact(children, pid2, keep)
         acc = tuple(
@@ -129,7 +149,16 @@ def main():
             for a, w in zip(acc, accw))
         return sum(jnp.sum(a) for a in acc)
 
-    f = jax.jit(one_chunk)
+    if args.ad:
+        def step(stbl, ltbl, btbl, start):
+            val, grads = jax.value_and_grad(
+                lambda s, l, b: one_chunk(s, l, b, start),
+                argnums=(0, 1, 2))(stbl, ltbl, btbl)
+            return val + sum(jnp.sum(g) for g in grads)
+
+        f = jax.jit(step)
+    else:
+        f = jax.jit(one_chunk)
     float(f(scene_tbl, lights_tbl, bg_tbl, jnp.int32(0)))  # compile
 
     tracedir = tempfile.mkdtemp(prefix="raytpu_trace_")
