@@ -906,11 +906,12 @@ def _segsum_scatter(acc, em, pid, npix: int, prefix: int,
         exactness lemma).  A caller without that invariant gets silently
         wrong gradients for the tail rays."""
     return _segsum_scatter_impl(acc, em, pid, npix, prefix, max_run,
-                                blocked, interpret)[0]
+                                blocked, interpret, need_res=False)[0]
 
 
 def _segsum_scatter_impl(acc, em, pid, npix: int, prefix: int,
-                         max_run: int, blocked: bool, interpret: bool):
+                         max_run: int, blocked: bool, interpret: bool,
+                         need_res: bool = True):
     """Shared primal: returns (updated acc, (bkey, bpos)) where
     bkey/bpos are the compacted boundary keys and their ORIGINAL
     positions (prefix-length) — the backward's seed set (see
@@ -936,8 +937,11 @@ def _segsum_scatter_impl(acc, em, pid, npix: int, prefix: int,
     last = (pid != jnp.roll(pid, -1)) | (idx == r - 1)
     key = jnp.where(last, pid, jnp.int32(1) << 30)
     bs = tuple(jnp.where(last, x, f32(0.0)) for x in e)
-    # Positions ride the boundary compaction as f32 (exact: r < 2^24).
-    pos = idx.astype(f32)
+    # Positions ride the boundary compaction as f32 (exact: r < 2^24) —
+    # only when the caller is the AD fwd (the primal-only path skips the
+    # extra sorted operand + cursor output: measured ~0.6% of the
+    # config-5 frame).
+    pos = (idx.astype(f32),) if need_res else ()
     rows = r // LANES
     if blocked and rows % WF_BLOCK_ROWS == 0 and rows // WF_BLOCK_ROWS > 1:
         # Blocked boundary compaction (round 5, same scheme as
@@ -953,9 +957,8 @@ def _segsum_scatter_impl(acc, em, pid, npix: int, prefix: int,
         bse = WF_BLOCK_ROWS * LANES
         tb = r // bse
         srt = jax.lax.sort(
-            (key.reshape(tb, bse),) + tuple(x.reshape(tb, bse)
-                                            for x in bs)
-            + (pos.reshape(tb, bse),),
+            (key.reshape(tb, bse),)
+            + tuple(x.reshape(tb, bse) for x in bs + pos),
             num_keys=1, is_stable=False)
         nb = jnp.sum((srt[0] < (jnp.int32(1) << 30)).astype(jnp.int32),
                      axis=1)
@@ -969,18 +972,20 @@ def _segsum_scatter_impl(acc, em, pid, npix: int, prefix: int,
                                  interpret)
         p2 = out_rows * LANES
         bkey = outs[0].reshape(-1)[:p2]
-        bpos = outs[-1].reshape(-1)[:p2].astype(jnp.int32)
         kp = jnp.minimum(bkey, jnp.int32(npix - 1))
+        vops = outs[1:-1] if need_res else outs[1:]
+        res = ((bkey, outs[-1].reshape(-1)[:p2].astype(jnp.int32))
+               if need_res else None)
         return (tuple(a.at[kp].add(x.reshape(-1)[:p2])
-                      for a, x in zip(acc, outs[1:-1])),
-                (bkey, bpos))
-    srt = jax.lax.sort((key,) + bs + (pos,), num_keys=1, is_stable=False)
+                      for a, x in zip(acc, vops)), res)
+    srt = jax.lax.sort((key,) + bs + pos, num_keys=1, is_stable=False)
     bkey = srt[0][:prefix]
-    bpos = srt[-1][:prefix].astype(jnp.int32)
     kp = jnp.minimum(bkey, jnp.int32(npix - 1))
+    vops = srt[1:-1] if need_res else srt[1:]
+    res = ((bkey, srt[-1][:prefix].astype(jnp.int32))
+           if need_res else None)
     return (tuple(a.at[kp].add(x[:prefix], indices_are_sorted=True)
-                  for a, x in zip(acc, srt[1:-1])),
-            (bkey, bpos))
+                  for a, x in zip(acc, vops)), res)
 
 
 def _segsum_scatter_fwd(acc, em, pid, npix: int, prefix: int,
